@@ -1,0 +1,346 @@
+"""In-memory backoff n-gram language model with reference-parity semantics.
+
+This is the broadcast payload of the Spark scorer: per-order sorted uint64 key
+arrays with float32 prob/backoff payloads — the same logical structure as the
+reference's probing hash tables (``lm/search_hashed.hh:30-41``,
+``util/probing_hash_table.hh:90-98``) but stored as sorted arrays so numpy
+``searchsorted`` gives vectorized batch lookup on executors.
+
+Semantics reproduced from the reference (all cited file:line are in
+/root/reference):
+
+* word ids: ``<unk>`` is always 0 (``lm/word_index.hh:8-10``); misses map
+  to 0 (``lm/vocab.hh:160-163``).
+* backoff ``-0.0`` vs ``0.0``: ``-0.0`` means "this n-gram is never the
+  context of a longer n-gram", which truncates output state and hence which
+  backoffs get charged (``lm/blank.hh:22-38``). Entries that do appear as a
+  context get flipped to ``+0.0`` at load ("activation",
+  ``lm/search_hashed.cc:23-55``).
+* blanks: when an n-gram's suffix chain has holes (SRI-pruned models),
+  intermediate "blank" entries are hallucinated with prob taken from the
+  backoff chain and backoff ``-0.0`` (``lm/search_hashed.cc:57-133``).
+* scoring: longest-match prob plus backoff charges for every context order
+  the match failed to use (``lm/model.cc:134-140``, ``:245-296``); output
+  state minimized by the extension sign bit (``lm/model.cc:262,284-286``).
+* missing ``<unk>``: prob -100, backoff 0 (``lm/model.cc:121-126``).
+
+A "stupid backoff" mode replaces learned backoff charges with a fixed
+``log10(alpha)`` penalty per skipped context order (alpha=0.4, the constant
+from Brants et al. 2007); it is not part of the reference and is gated behind
+``stupid_backoff=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import combine_word_hash, combine_word_hash_vec, ngram_key
+
+UNK = "<unk>"
+BOS = "<s>"
+EOS = "</s>"
+
+#: lm/config.hh:52-54 — prob assigned when the ARPA lacks <unk>.
+UNKNOWN_MISSING_LOGPROB = -100.0
+
+LOG10_STUPID_ALPHA = float(np.log10(0.4))
+
+
+def _has_extension(backoff: float) -> bool:
+    """lm/blank.hh:31-38 — sign-bit compare with -0.0."""
+    return not (backoff == 0.0 and np.signbit(backoff))
+
+
+@dataclass
+class FullScoreReturn:
+    """Mirror of lm/return.hh:8-39 (minus extend_left/rest plumbing)."""
+
+    log10_prob: float
+    ngram_length: int
+    oov: bool
+    independent_left: bool
+
+
+@dataclass
+class State:
+    """Mirror of lm/state.hh:15-48: words most-recent-first + their backoffs."""
+
+    words: list[int] = field(default_factory=list)
+    backoffs: list[float] = field(default_factory=list)
+
+    @property
+    def length(self) -> int:
+        return len(self.words)
+
+
+class NGramModel:
+    """Immutable query-side model; picklable, intended for ``sc.broadcast``.
+
+    Per order ``n``: ``keys[n]`` (sorted uint64), ``probs[n]`` (float32),
+    ``backoffs[n]`` (float32, absent for the longest order) and
+    ``extends[n]`` (bool: some (n+1)-gram ends with this n-gram — the
+    ``independent_left`` negation, lm/value_build.hh:26-29).
+    Order 1 is indexed directly by word id.
+    """
+
+    def __init__(
+        self,
+        order: int,
+        vocab: dict[str, int],
+        uni_prob: np.ndarray,
+        uni_backoff: np.ndarray,
+        uni_extends: np.ndarray,
+        keys: dict[int, np.ndarray],
+        probs: dict[int, np.ndarray],
+        backoffs: dict[int, np.ndarray],
+        extends: dict[int, np.ndarray],
+    ) -> None:
+        self.order = order
+        self.vocab = vocab
+        self.uni_prob = uni_prob
+        self.uni_backoff = uni_backoff
+        self.uni_extends = uni_extends
+        self.keys = keys
+        self.probs = probs
+        self.backoffs = backoffs
+        self.extends = extends
+        self.bos_id = vocab.get(BOS, 0)
+        self.eos_id = vocab.get(EOS, 0)
+
+    # ------------------------------------------------------------------ vocab
+
+    def word_id(self, word: str) -> int:
+        return self.vocab.get(word, 0)
+
+    def __contains__(self, word: str) -> bool:
+        """python/kenlm.pyx:277-279 — vocab membership is Index(word) != 0."""
+        return self.vocab.get(word, 0) != 0
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.uni_prob)
+
+    # ----------------------------------------------------------------- lookup
+
+    def _find(self, n: int, key: int):
+        """Return (prob, backoff, extends) for an order-n key or None."""
+        ks = self.keys[n]
+        i = int(np.searchsorted(ks, np.uint64(key)))
+        if i >= len(ks) or ks[i] != np.uint64(key):
+            return None
+        prob = float(self.probs[n][i])
+        backoff = float(self.backoffs[n][i]) if n < self.order else -0.0
+        ext = bool(self.extends[n][i]) if n < self.order else False
+        return prob, backoff, ext
+
+    # ------------------------------------------------------------ score paths
+
+    def begin_sentence_state(self) -> State:
+        """lm/model.cc:80-89."""
+        return State([self.bos_id], [float(self.uni_backoff[self.bos_id])])
+
+    def null_context_state(self) -> State:
+        return State([], [])
+
+    def full_score(self, state: State, word_id: int) -> tuple[FullScoreReturn, State]:
+        """One FullScore step — lm/model.cc:134-140 + :245-296.
+
+        ``state.words`` is most-recent-first, as in lm/state.hh.
+        """
+        oov = word_id == 0
+        prob = float(self.uni_prob[word_id])
+        backoff0 = float(self.uni_backoff[word_id])
+        indep = not bool(self.uni_extends[word_id])
+        ngram_length = 1
+        out_words = [word_id]
+        out_backoffs = [backoff0]
+        out_len = 1 if _has_extension(backoff0) else 0
+
+        node = word_id
+        matched = 1
+        for i, ctx_word in enumerate(state.words):
+            if indep:
+                break
+            n = i + 2
+            node = combine_word_hash(node, ctx_word)
+            if n == self.order:
+                hit = self._find(n, node)
+                if hit is not None:
+                    prob = hit[0]
+                    ngram_length = n
+                indep = True
+                break
+            hit = self._find(n, node)
+            if hit is None:
+                indep = True
+                break
+            prob, bo, ext = hit
+            ngram_length = n
+            matched = n
+            out_backoffs.append(bo)
+            if _has_extension(bo):
+                out_len = n
+            indep = not ext
+
+        # Backoff charging: lm/model.cc:136-139.
+        for j in range(ngram_length - 1, state.length):
+            prob += state.backoffs[j]
+
+        out_words.extend(state.words[: max(out_len - 1, 0)])
+        out_state = State(out_words[:out_len], out_backoffs[:out_len])
+        return FullScoreReturn(prob, ngram_length, oov, indep), out_state
+
+    def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
+        """python/kenlm.pyx:153-207 — log10 P of the whole sentence."""
+        state = self.begin_sentence_state() if bos else self.null_context_state()
+        total = 0.0
+        for word in sentence.split():
+            ret, state = self.full_score(state, self.word_id(word))
+            total += ret.log10_prob
+        if eos:
+            ret, state = self.full_score(state, self.eos_id)
+            total += ret.log10_prob
+        return total
+
+    def full_scores(self, sentence: str, bos: bool = True, eos: bool = True):
+        """python/kenlm.pyx:217-242 — per-token (prob, ngram_length, oov)."""
+        state = self.begin_sentence_state() if bos else self.null_context_state()
+        for word in sentence.split():
+            ret, state = self.full_score(state, self.word_id(word))
+            yield ret.log10_prob, ret.ngram_length, ret.oov
+        if eos:
+            ret, state = self.full_score(state, self.eos_id)
+            yield ret.log10_prob, ret.ngram_length, ret.oov
+
+    def perplexity(self, sentence: str) -> float:
+        """python/kenlm.pyx:209-215 — 10**(-score / (words + 1))."""
+        words = len(sentence.split()) + 1
+        return 10.0 ** (-self.score(sentence) / words)
+
+    # ----------------------------------------------------- vectorized scoring
+
+    def score_batch(
+        self,
+        token_id_lists: list[np.ndarray],
+        bos: bool = True,
+        eos: bool = True,
+        stupid_backoff: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized scoring of many sentences at once.
+
+        Returns ``(log10_prob, oov_count, scored_tokens)`` per sentence.
+        Equivalent to summing :meth:`full_score` over each sentence — the
+        textbook backoff recursion telescopes to the same totals as the
+        reference's state-based charging (verified by golden tests).
+
+        This is the Spark executor hot path: all per-order lookups are
+        ``np.searchsorted`` over the whole batch; the only Python-level loop
+        is over the model order (≤ 6 iterations).
+        """
+        n_sent = len(token_id_lists)
+        if n_sent == 0:
+            z = np.zeros(0)
+            return z, z.astype(np.int64), z.astype(np.int64)
+
+        lens = np.fromiter((len(t) for t in token_id_lists), np.int64, n_sent)
+        pad = (1 if bos else 0) + (1 if eos else 0)
+        full_lens = lens + pad
+        # Flat token stream with per-sentence BOS/EOS.
+        flat = np.empty(int(full_lens.sum()), dtype=np.int64)
+        starts = np.zeros(n_sent, dtype=np.int64)
+        np.cumsum(full_lens[:-1], out=starts[1:])
+        for i, toks in enumerate(token_id_lists):
+            s = starts[i]
+            if bos:
+                flat[s] = self.bos_id
+                s += 1
+            flat[s : s + lens[i]] = toks
+            if eos:
+                flat[s + lens[i]] = self.eos_id
+
+        T = len(flat)
+        # Position within sentence (0-based).
+        sent_idx = np.repeat(np.arange(n_sent), full_lens)
+        pos_in_sent = np.arange(T) - starts[sent_idx]
+
+        N = self.order
+        # keys_n[t]: uint64 key of the n-gram ending at t (valid if enough
+        # sentence-local history exists: pos_in_sent[t] >= n-1).
+        flat_u = flat.astype(np.uint64)
+        found = np.zeros((N + 1, T), dtype=bool)
+        prob_at = np.zeros((N + 1, T), dtype=np.float64)
+        bo_at = np.zeros((N + 1, T), dtype=np.float64)
+
+        found[1] = True
+        prob_at[1] = self.uni_prob[flat]
+        bo_at[1] = self.uni_backoff[flat]
+
+        key = flat_u.copy()
+        for n in range(2, N + 1):
+            shifted = np.zeros_like(flat_u)
+            if T > n - 1:
+                shifted[n - 1 :] = flat_u[: T - n + 1]
+            key = combine_word_hash_vec(key, shifted)
+            valid = pos_in_sent >= (n - 1)
+            ks = self.keys[n]
+            idx = np.searchsorted(ks, key)
+            idx_c = np.minimum(idx, len(ks) - 1) if len(ks) else idx
+            hit = valid & (len(ks) > 0)
+            if len(ks):
+                hit &= ks[idx_c] == key
+            found[n] = hit
+            if hit.any():
+                prob_at[n][hit] = self.probs[n][idx_c[hit]]
+                if n < N:
+                    bo_at[n][hit] = self.backoffs[n][idx_c[hit]]
+
+        # Longest found order per position (orders above the available
+        # context are marked not-found via `valid`).
+        order_grid = np.arange(N + 1).reshape(-1, 1)
+        k = np.max(np.where(found, order_grid, 0), axis=0)  # >= 1 everywhere
+        token_prob = np.take_along_axis(prob_at, k.reshape(1, -1), axis=0)[0]
+
+        # Backoff charges: sum of bo(ctx_m at t-1) for m in [k[t], L[t]]
+        # where L[t] = min(pos_in_sent[t], N-1).
+        L = np.minimum(pos_in_sent, N - 1)
+        if stupid_backoff:
+            n_skipped = np.maximum(L - (k - 1), 0)
+            charge_at_t = None
+            token_prob = token_prob + n_skipped * LOG10_STUPID_ALPHA
+        else:
+            cs = np.cumsum(bo_at, axis=0)  # cs[n] = sum of bo_at[1..n]
+            # charge[t] = cs[L[t], t-1] - cs[k[t]-1, t-1]
+            prev = np.maximum(np.arange(T) - 1, 0)
+            hi = np.take_along_axis(cs[:, prev], L.reshape(1, -1), axis=0)[0]
+            lo = np.take_along_axis(cs[:, prev], (k - 1).reshape(1, -1), axis=0)[0]
+            charge = hi - lo
+            charge[pos_in_sent == 0] = 0.0
+            token_prob = token_prob + charge
+
+        # Score every position except a leading BOS.
+        scored = pos_in_sent > 0 if bos else np.ones(T, dtype=bool)
+        contrib = np.where(scored, token_prob, 0.0)
+        sent_scores = np.zeros(n_sent)
+        np.add.at(sent_scores, sent_idx, contrib)
+        oov = np.where(scored & (flat == 0), 1, 0)
+        sent_oov = np.zeros(n_sent, dtype=np.int64)
+        np.add.at(sent_oov, sent_idx, oov)
+        n_scored = lens + (1 if eos else 0)
+        return sent_scores, sent_oov, n_scored
+
+    def perplexity_batch(
+        self, token_id_lists: list[np.ndarray], stupid_backoff: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-sentence (perplexity, log10_prob, oov_count) with bos+eos."""
+        scores, oov, n_scored = self.score_batch(
+            token_id_lists, bos=True, eos=True, stupid_backoff=stupid_backoff
+        )
+        denom = np.maximum(n_scored, 1)
+        ppl = np.power(10.0, -scores / denom)
+        return ppl, scores, oov
+
+    def map_ids(self, tokens: list[str]) -> np.ndarray:
+        get = self.vocab.get
+        return np.fromiter((get(t, 0) for t in tokens), np.int64, len(tokens))

@@ -1,0 +1,85 @@
+"""Hash parity tests.
+
+MurmurHash64A is validated against the published reference vectors of the
+original algorithm (SMHasher verification values) and self-consistency;
+the CombineWordHash recurrence (lm/search_hashed.hh:25-28) against a direct
+big-int evaluation.
+"""
+
+import numpy as np
+
+from kenlm_spark.ngram.hashing import (
+    combine_word_hash,
+    combine_word_hash_vec,
+    murmur_hash64a,
+    ngram_key,
+)
+
+MASK = (1 << 64) - 1
+
+
+def test_murmur_empty():
+    # seed ^ 0 then finalization of h=seed
+    assert murmur_hash64a(b"") == 0
+    h = murmur_hash64a(b"", seed=1)
+    assert h != 0
+
+
+def test_murmur_known_properties():
+    # 8-byte aligned vs tail path agree with independent big-int evaluation
+    m = 0xC6A4A7935BD1E995
+    r = 47
+
+    def ref(data: bytes, seed: int = 0) -> int:
+        h = (seed ^ ((len(data) * m) & MASK)) & MASK
+        i = 0
+        while i + 8 <= len(data):
+            k = int.from_bytes(data[i : i + 8], "little")
+            k = (k * m) & MASK
+            k ^= k >> r
+            k = (k * m) & MASK
+            h = ((h ^ k) * m) & MASK
+            i += 8
+        tail = data[i:]
+        if tail:
+            h = ((h ^ int.from_bytes(tail, "little")) * m) & MASK
+        h ^= h >> r
+        h = (h * m) & MASK
+        h ^= h >> r
+        return h
+
+    for data in [b"a", b"abcdefg", b"abcdefgh", b"abcdefghi", b"<unk>", b"hello world"]:
+        assert murmur_hash64a(data) == ref(data)
+        assert murmur_hash64a(data, seed=42) == ref(data, seed=42)
+
+
+def test_murmur_distinct():
+    words = [b"the", b"a", b"<s>", b"</s>", b"<unk>", b"loin"]
+    hashes = {murmur_hash64a(w) for w in words}
+    assert len(hashes) == len(words)
+
+
+def test_combine_word_hash_exact():
+    # direct evaluation of lm/search_hashed.hh:26
+    cur, w = 12345678901234567890, 42
+    exp = ((cur * 8978948897894561157) ^ ((1 + w) * 17894857484156487943)) & MASK
+    assert combine_word_hash(cur, w) == exp
+
+
+def test_vectorized_matches_scalar():
+    rng = np.random.default_rng(7)
+    cur = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    words = rng.integers(0, 100000, size=100, dtype=np.uint64)
+    vec = combine_word_hash_vec(cur, words)
+    for i in range(100):
+        assert int(vec[i]) == combine_word_hash(int(cur[i]), int(words[i]))
+
+
+def test_ngram_key_folds_from_last_word():
+    # key(w1 w2 w3) starts at w3 and folds w2 then w1
+    ids = [5, 9, 13]
+    h = 13
+    h = combine_word_hash(h, 9)
+    h = combine_word_hash(h, 5)
+    assert ngram_key(ids) == h
+    assert ngram_key([7]) == 7

@@ -1,0 +1,209 @@
+"""Golden scoring tests transcribed from the reference's unit tests.
+
+Expectations come from /root/reference/lm/model_test.cc:66-180 (Starters,
+Continuation, Blanks, Unknowns, MinimalState) run against lm/test.arpa, and
+/root/reference/python/example.py:17 (sum(full_scores) == score).
+Tolerance mirrors SLOPPY_CHECK_CLOSE(…, 0.001%) loosely: abs/rel 1e-4.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from kenlm_spark.ngram.arpa import load_arpa
+from kenlm_spark.ngram.model import NGramModel
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def model() -> NGramModel:
+    return load_arpa(str(FIXTURES / "test.arpa"))
+
+
+@pytest.fixture(scope="module")
+def model_nounk() -> NGramModel:
+    return load_arpa(str(FIXTURES / "test_nounk.arpa"))
+
+
+def run(model, state, word, exp_prob, exp_len, exp_indep=None, exp_state_len=None):
+    ret, out = model.full_score(state, model.word_id(word))
+    assert ret.log10_prob == pytest.approx(exp_prob, rel=1e-4, abs=1e-4), word
+    assert ret.ngram_length == exp_len, word
+    if exp_indep is not None:
+        assert ret.independent_left == exp_indep, word
+    if exp_state_len is not None:
+        assert out.length == exp_state_len, word
+    return out
+
+
+class TestStarters:
+    # model_test.cc:66-78
+    def test_looking(self, model):
+        run(model, model.begin_sentence_state(), "looking", -0.4846522, 2, True)
+
+    def test_comma_charges_bos_backoff(self, model):
+        run(model, model.begin_sentence_state(), ",", -1.383514 + -0.4149733, 1, True)
+
+    def test_oov_charges_bos_backoff(self, model):
+        st = model.begin_sentence_state()
+        ret, _ = model.full_score(st, model.word_id("this_is_not_found"))
+        assert ret.oov
+        assert ret.log10_prob == pytest.approx(-1.995635 + -0.4149733, rel=1e-4)
+        assert ret.ngram_length == 1
+
+
+class TestContinuation:
+    # model_test.cc:80-103
+    def test_full_chain(self, model):
+        st = model.begin_sentence_state()
+        st = run(model, st, "looking", -0.484652, 2, True)
+        st = run(model, st, "on", -0.348837, 3, True)
+        st = run(model, st, "a", -0.0155266, 4, True)
+        st = run(model, st, "little", -0.00306122, 5, True)
+        preserve = st
+        st = run(model, st, "the", -4.04005, 1, True)
+        st = run(model, st, "biarritz", -1.9889, 1, True)
+        st = run(model, st, "not_found", -2.29666, 1, True)
+        st = run(model, st, "more", -1.20632 - 20.0, 1, True)
+        st = run(model, st, ".", -0.51363, 2, True)
+        st = run(model, st, "</s>", -0.0191651, 3, True)
+        assert st.length == 0
+
+        st = run(model, preserve, "more", -0.00181395, 5, True, exp_state_len=4)
+        st = run(model, st, "loin", -0.0432557, 5, True, exp_state_len=1)
+
+
+class TestBlanks:
+    # model_test.cc:105-137
+    def test_also_would_consider(self, model):
+        st = model.null_context_state()
+        st = run(model, st, "also", -1.687872, 1, False)
+        st = run(model, st, "would", -2.0, 2, True)
+        st = run(model, st, "consider", -3.0, 3, True)
+        preserve = st
+        st = run(model, st, "higher", -4.0, 4, True)
+        st = run(model, st, "looking", -5.0, 5, True, exp_state_len=1)
+
+        run(model, preserve, "not_found", -1.995635 - 7.0 - 0.30103, 1, True)
+
+    def test_higher_looking_blank(self, model):
+        st = model.null_context_state()
+        st = run(model, st, "higher", -1.509559, 1, False)
+        st = run(
+            model, st, "looking", -1.285941 - 0.30103, 2, False, exp_state_len=1
+        )
+        higher_looking = st
+        run(model, st, "not_found", -1.995635 - 0.4771212, 1, True)
+        run(model, higher_looking, "consider", -1.687872 - 0.4771212, 1, True)
+
+    def test_would_consider_blanks(self, model):
+        st = model.null_context_state()
+        st = run(model, st, "would", -1.687872, 1, False, exp_state_len=1)
+        st = run(
+            model, st, "consider", -1.687872 - 0.30103, 2, False, exp_state_len=2
+        )
+        st = run(model, st, "higher", -1.509559 - 0.30103, 3, False, exp_state_len=3)
+        run(model, st, "looking", -1.285941 - 0.30103, 4, False)
+
+
+class TestUnknowns:
+    # model_test.cc:139-154
+    def test_unk_bigrams(self, model):
+        st = model.null_context_state()
+        st = run(model, st, "not_found", -1.995635, 1, False)
+        preserve = st
+        st = run(model, st, "not_found2", -15.0, 2, True)
+        st = run(model, st, "not_found3", -15.0 - 2.0, 2, True)
+
+        st = run(model, preserve, "however", -4.0, 2, True)
+        run(model, st, "not_found3", -6.0, 3, True)
+
+
+class TestMinimalState:
+    # model_test.cc:156-180
+    def test_baz_foo_bar(self, model):
+        st = model.null_context_state()
+        st = run(model, st, "baz", -6.535897, 1, True, exp_state_len=0)
+        st = model.null_context_state()
+        st = run(model, st, "foo", -3.141592, 1, True, exp_state_len=1)
+        st = run(model, st, "bar", -6.0, 2, True, exp_state_len=1)
+        # has to include the (positive!) backoff weight of "bar"
+        st = run(model, st, "bar", -2.718281 + 3.0, 1, True, exp_state_len=1)
+
+    def test_to_look_a(self, model):
+        st = model.null_context_state()
+        st = run(model, st, "to", -1.687872, 1, False)
+        st = run(model, st, "look", -0.2922095, 2, True, exp_state_len=2)
+        run(model, st, "a", -7.0, 3, True)
+
+
+class TestNoUnk:
+    # model_test.cc:281-287 — missing <unk> defaults to -100.
+    def test_unk_defaults(self, model_nounk):
+        st = model_nounk.null_context_state()
+        st = run(model_nounk, st, "not_found", -100.0, 1)
+        ret, _ = model_nounk.full_score(st, model_nounk.word_id("not_found"))
+        assert ret.oov
+
+
+class TestSentenceAPI:
+    def test_sum_full_scores_equals_score(self, model):
+        # python/example.py:17
+        s = "looking on a little more loin . </s>"
+        s2 = "screening a little more loin ."
+        for sentence in (s2, "beyond the loin", "this is all not_found junk"):
+            total = sum(p for p, _, _ in model.full_scores(sentence))
+            assert total == pytest.approx(model.score(sentence), rel=1e-6)
+
+    def test_perplexity_definition(self, model):
+        s = "screening a little more loin ."
+        ppl = model.perplexity(s)
+        assert ppl == pytest.approx(
+            10.0 ** (-model.score(s) / (len(s.split()) + 1)), rel=1e-9
+        )
+
+
+class TestVectorizedScorer:
+    def test_matches_stateful_loop(self, model):
+        sentences = [
+            "looking on a little more loin .",
+            "screening a little more loin .",
+            "beyond the loin",
+            "this is all not_found junk",
+            "foo bar bar",
+            "also would consider higher looking",
+            "",
+            "higher looking consider",
+            "the the the the the the the the the the",
+        ]
+        ids = [model.map_ids(s.split()) for s in sentences]
+        scores, oov, n_scored = model.score_batch(ids, bos=True, eos=True)
+        for i, s in enumerate(sentences):
+            assert scores[i] == pytest.approx(model.score(s), rel=1e-5, abs=1e-5), s
+            exp_oov = sum(1 for o in model.full_scores(s) if o[2])
+            assert oov[i] == exp_oov, s
+            assert n_scored[i] == len(s.split()) + 1
+
+    def test_no_bos_eos(self, model):
+        sentences = ["foo bar bar", "would consider higher looking"]
+        ids = [model.map_ids(s.split()) for s in sentences]
+        scores, _, _ = model.score_batch(ids, bos=False, eos=False)
+        for i, s in enumerate(sentences):
+            assert scores[i] == pytest.approx(
+                model.score(s, bos=False, eos=False), rel=1e-5
+            )
+
+    def test_stupid_backoff_penalty(self, model):
+        # One skipped context order => one log10(0.4) penalty instead of the
+        # learned backoff weight.
+        ids = [model.map_ids(["looking", "on"])]
+        kn, _, _ = model.score_batch(ids, bos=True, eos=False)
+        sb, _, _ = model.score_batch(ids, bos=True, eos=False, stupid_backoff=True)
+        # "<s> looking on" is a real trigram: no penalty on either token.
+        assert sb[0] == pytest.approx(kn[0], abs=1e-6)
+        ids2 = [model.map_ids(["baz", "baz"])]
+        sb2, _, _ = model.score_batch(ids2, bos=False, eos=False, stupid_backoff=True)
+        exp = float(model.uni_prob[model.word_id("baz")]) * 2 + np.log10(0.4)
+        assert sb2[0] == pytest.approx(exp, rel=1e-5)
