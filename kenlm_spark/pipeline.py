@@ -1,0 +1,188 @@
+"""The caption quality-filter pipeline (the north rule, end to end).
+
+Stages over an image+caption table
+``(image_id, bytes, w, h, fmt, caption, phash)``:
+
+1. language-ID          — Catalyst expressions (kenlm_spark.filtering.langid)
+2. perplexity scoring   — broadcast n-gram model, Arrow-batched pandas UDF
+                          (kenlm_spark.ngram.scorer); KenLM query semantics
+                          per /root/reference/lm/model.cc:134-296
+3. quality heuristics   — Catalyst expressions (filtering.quality)
+4. PII/toxicity scrub   — regexp_replace chain (filtering.scrub)
+5. keep/drop decision   — deterministic rule over 1-4, with a drop_reason
+
+Image bytes pass through untouched (verified by PSNR/equality tests).
+
+Scale design:
+* Stages 1/3/4/5 are pure Catalyst — whole-stage codegen, pushdown, no
+  Python. Only stage 2 crosses into Python, via Arrow, batch-at-a-time.
+* Skew: caption length is Zipfian. ``salt_by_length`` re-partitions by a
+  composite (length-bucket, salt) key so one partition cannot accumulate
+  all the long captions; inside the UDF, batches are re-chunked by token
+  budget (scorer.max_batch_tokens).
+* Checkpoint/resume: ``write_snapshot``/``latest_snapshot`` implement an
+  Iceberg-style snapshot directory (manifest + immutable data files). On a
+  real cluster, swap for ``df.writeTo(table)`` on an Iceberg catalog —
+  the pipeline only assumes atomic snapshot visibility.
+* Lineage/metrics: every run stamps ``part_id`` and ``run_id`` and
+  ``metrics`` aggregates keep/drop/scrub counts per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenlm_spark.filtering.langid import lang_expr
+from kenlm_spark.filtering.quality import (
+    DEFAULTS as QUALITY_DEFAULTS,
+    quality_metric_exprs,
+    quality_pass_expr,
+)
+from kenlm_spark.filtering.scrub import scrub_expr
+from kenlm_spark.ngram.model import NGramModel
+from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+
+@dataclass
+class FilterConfig:
+    allowed_langs: tuple[str, ...] = ("en",)
+    max_perplexity: float = 1e5
+    max_oov_ratio: float = 0.5
+    quality: dict = field(default_factory=dict)
+    stupid_backoff: bool = False
+    salt_buckets: int = 16
+    length_buckets: tuple[int, ...] = (8, 32, 128, 512)
+
+
+class QualityFilterPipeline:
+    def __init__(
+        self, spark: SparkSession, model: NGramModel, config: FilterConfig | None = None
+    ) -> None:
+        self.spark = spark
+        self.config = config or FilterConfig()
+        self.scorer = SparkNGramScorer(
+            spark, model, stupid_backoff=self.config.stupid_backoff
+        )
+
+    # ------------------------------------------------------------- stages
+
+    def salt_by_length(self, df: DataFrame, text_col: str = "caption") -> DataFrame:
+        """Salted repartition by caption-length bucket (skew handling).
+
+        Length is Zipfian; hashing on (bucket, salt) spreads the long tail
+        across ``salt_buckets`` partitions per bucket instead of letting
+        hash(image_id) chance decide.
+        """
+        c = F.coalesce(F.col(text_col), F.lit(""))
+        bucket = F.lit(0)
+        for i, b in enumerate(self.config.length_buckets):
+            bucket = F.when(F.length(c) > b, F.lit(i + 1)).otherwise(bucket)
+        salt = F.pmod(F.xxhash64(F.col("image_id")), F.lit(self.config.salt_buckets))
+        n_part = self.spark.sparkContext.defaultParallelism
+        return df.repartition(n_part, bucket, salt)
+
+    def run(self, images: DataFrame, text_col: str = "caption") -> DataFrame:
+        cfg = self.config
+        df = self.salt_by_length(images, text_col)
+        df = df.withColumn("lang_pred", lang_expr(text_col))
+        df = self.scorer.with_scores(df, text_col, prefix="lm_")
+        metrics = quality_metric_exprs(text_col)
+        for name, col in metrics.items():
+            df = df.withColumn(name, col)
+        df = df.withColumn("quality_pass", quality_pass_expr(metrics, cfg.quality))
+        df = df.withColumn("scrubbed_caption", scrub_expr(text_col))
+
+        oov_ratio = F.col("lm_oov_count").cast("double") / F.greatest(
+            F.col("lm_n_tokens"), F.lit(1)
+        )
+        lang_ok = F.col("lang_pred").isin(*cfg.allowed_langs)
+        ppl_ok = F.col("lm_perplexity") <= F.lit(cfg.max_perplexity)
+        oov_ok = oov_ratio <= F.lit(cfg.max_oov_ratio)
+
+        df = df.withColumn(
+            "drop_reason",
+            F.when(~F.col("quality_pass"), F.lit("quality"))
+            .when(~lang_ok, F.lit("lang"))
+            .when(~oov_ok, F.lit("oov"))
+            .when(~ppl_ok, F.lit("perplexity"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        df = df.withColumn("keep", F.col("drop_reason").isNull())
+        df = df.withColumn("part_id", F.spark_partition_id())
+        return df
+
+    # ----------------------------------------------------------- metrics
+
+    @staticmethod
+    def metrics(result: DataFrame) -> DataFrame:
+        """Per-partition lineage metrics (north-rule requirement)."""
+        return result.groupBy("part_id").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+            F.sum(
+                (F.col("scrubbed_caption") != F.coalesce(F.col("caption"), F.lit("")))
+                .cast("long")
+            ).alias("n_scrubbed"),
+            F.sum(F.col("lm_oov_count")).alias("n_oov_tokens"),
+        )
+
+    # ------------------------------------------------- snapshot checkpoints
+
+    @staticmethod
+    def write_snapshot(df: DataFrame, root: str, run_id: str | None = None) -> str:
+        """Write an immutable snapshot + manifest (Iceberg-style commit).
+
+        Data lands in ``root/data/<snapshot_id>/`` first; the manifest is
+        written last, so a snapshot is visible only when complete (the same
+        visibility contract as an Iceberg snapshot commit).
+        """
+        snapshot_id = run_id or f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        data_path = os.path.join(root, "data", snapshot_id)
+        df.write.mode("overwrite").parquet(data_path)
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "data_path": data_path,
+            "committed_at": time.time(),
+        }
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        tmp = os.path.join(root, "manifests", f".{snapshot_id}.tmp")
+        final = os.path.join(root, "manifests", f"{snapshot_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, final)
+        return snapshot_id
+
+    @staticmethod
+    def latest_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
+        mdir = os.path.join(root, "manifests")
+        if not os.path.isdir(mdir):
+            return None
+        manifests = sorted(p for p in os.listdir(mdir) if p.endswith(".json"))
+        if not manifests:
+            return None
+        with open(os.path.join(mdir, manifests[-1])) as fh:
+            manifest = json.load(fh)
+        return spark.read.parquet(manifest["data_path"])
+
+    def run_resumable(
+        self, images: DataFrame, checkpoint_root: str, text_col: str = "caption"
+    ) -> DataFrame:
+        """Resume from the latest complete snapshot: score only new ids."""
+        done = self.latest_snapshot(self.spark, checkpoint_root)
+        if done is None:
+            result = self.run(images, text_col)
+            self.write_snapshot(result, checkpoint_root)
+            return result
+        todo = images.join(done.select("image_id"), "image_id", "left_anti")
+        new_result = self.run(todo, text_col)
+        merged = done.unionByName(new_result)
+        self.write_snapshot(merged, checkpoint_root)
+        return merged

@@ -1,0 +1,137 @@
+"""End-to-end acceptance tests for the quality-filter pipeline.
+
+Targets from BASELINE.json: keep/drop F1 >= 0.99 vs the row-by-row
+reference implementation, scrubbed-caption exact match, image-bytes
+passthrough at PSNR >= 40dB, vectorized-only execution.
+"""
+
+import numpy as np
+import pytest
+
+from kenlm_spark.data import decode_raw_rgb, generate_images, psnr
+from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+
+from .oracle_filter import reference_row
+
+N_ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def result_rows(spark, arpa_model):
+    images = generate_images(spark, n_rows=N_ROWS, seed=42)
+    pipe = QualityFilterPipeline(spark, arpa_model, FilterConfig())
+    result = pipe.run(images)
+    rows = {r["image_id"]: r.asDict() for r in result.collect()}
+    assert len(rows) == N_ROWS
+    return rows
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(arpa_model):
+    from kenlm_spark.data import generate_images_pdf
+
+    pdf = generate_images_pdf(n_rows=N_ROWS, seed=42)
+    return {
+        row.image_id: dict(reference_row(arpa_model, row.caption), caption=row.caption)
+        for row in pdf.itertuples()
+    }
+
+
+def test_keep_drop_f1(result_rows, oracle_rows):
+    tp = fp = fn = 0
+    for iid, got in result_rows.items():
+        want = oracle_rows[iid]["keep"]
+        if got["keep"] and want:
+            tp += 1
+        elif got["keep"] and not want:
+            fp += 1
+        elif not got["keep"] and want:
+            fn += 1
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert tp + fn > 20, "oracle kept too few rows for a meaningful F1"
+    assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_drop_reasons_match(result_rows, oracle_rows):
+    mismatches = [
+        (iid, got["drop_reason"], oracle_rows[iid]["drop_reason"])
+        for iid, got in result_rows.items()
+        if got["drop_reason"] != oracle_rows[iid]["drop_reason"]
+    ]
+    assert not mismatches, mismatches[:10]
+
+
+def test_scrubbed_caption_exact(result_rows, oracle_rows):
+    for iid, got in result_rows.items():
+        assert got["scrubbed_caption"] == oracle_rows[iid]["scrubbed_caption"], iid
+
+
+def test_scores_match_reference_loop(result_rows, oracle_rows):
+    for iid, got in result_rows.items():
+        want = oracle_rows[iid]
+        assert got["lm_log10_prob"] == pytest.approx(
+            want["log10_prob"], rel=1e-5, abs=1e-5
+        ), iid
+        assert got["lm_oov_count"] == want["oov_count"], iid
+        assert got["lang_pred"] == want["lang"], iid
+
+
+def test_bytes_passthrough_psnr(result_rows, oracle_rows, spark, arpa_model):
+    from kenlm_spark.data import generate_images_pdf
+
+    pdf = generate_images_pdf(n_rows=N_ROWS, seed=42).set_index("image_id")
+    checked = 0
+    for iid, got in result_rows.items():
+        src = pdf.loc[iid]
+        assert got["caption"] == src["caption"]
+        if got["fmt"] == "raw":
+            a = decode_raw_rgb(bytes(src["bytes"]), src["w"], src["h"])
+            b = decode_raw_rgb(bytes(got["bytes"]), got["w"], got["h"])
+            assert psnr(a, b) >= 40.0
+            checked += 1
+    assert checked == N_ROWS
+
+
+def test_metrics_lineage(spark, arpa_model):
+    images = generate_images(spark, n_rows=200, seed=7)
+    pipe = QualityFilterPipeline(spark, arpa_model)
+    result = pipe.run(images)
+    m = pipe.metrics(result).collect()
+    assert sum(r["n_rows"] for r in m) == 200
+    assert all(r["n_keep"] + r["n_drop"] == r["n_rows"] for r in m)
+    assert len(m) > 1, "expected multiple partitions in lineage metrics"
+
+
+def test_snapshot_resume(spark, arpa_model, tmp_path):
+    images = generate_images(spark, n_rows=120, seed=3)
+    pipe = QualityFilterPipeline(spark, arpa_model)
+    root = str(tmp_path / "ckpt")
+
+    first_half = images.limit(60).cache()
+    r1 = pipe.run_resumable(first_half, root)
+    assert r1.count() == 60
+
+    merged = pipe.run_resumable(images, root)
+    assert merged.count() == 120
+    # Resume must not have re-run the first 60 (snapshot ids preserved).
+    again = QualityFilterPipeline.latest_snapshot(spark, root)
+    assert again.count() == 120
+    assert again.select("image_id").distinct().count() == 120
+
+
+def test_long_caption_skew_bounded(spark, arpa_model):
+    # Very long captions (>512 tokens) must not break or stall batches.
+    images = generate_images(spark, n_rows=100, seed=11)
+    pipe = QualityFilterPipeline(spark, arpa_model)
+    scorer = pipe.scorer
+    scorer._max_batch_tokens = 1000  # force re-chunking
+    out = pipe.run(images).select("lm_n_tokens").collect()
+    assert max(r[0] for r in out) > 256
+
+
+def test_perplexity_formula(result_rows, oracle_rows):
+    for iid, got in result_rows.items():
+        want = oracle_rows[iid]["perplexity"]
+        assert got["lm_perplexity"] == pytest.approx(want, rel=1e-4), iid
