@@ -1,38 +1,361 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship quality-filter pipeline on
+sf0.001; ``queries()`` exposes each implemented operator from SURVEY.md §2
+as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB twin the
+driver compares against at sf0.01.
+
+Column names are aligned between both sides; floating outputs that involve
+multi-term summation are rounded identically on both sides to absorb
+summation-order ulps (single divisions/compares of identical inputs are
+bit-exact and left unrounded).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+ARPA_PATH = os.path.join(REPO, "tests", "fixtures", "test.arpa")
+
+_MODEL = None
+
+
+def _model():
+    global _MODEL
+    if _MODEL is None:
+        from kenlm_spark.ngram.arpa import load_arpa
+
+        _MODEL = load_arpa(ARPA_PATH)
+    return _MODEL
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Quality-filter pipeline over sf0.001 documents-as-captions."""
+    from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    images = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.col("text").alias("caption"),
+        F.col("doc_id").alias("phash"),
+    )
+    pipe = QualityFilterPipeline(spark, _model(), FilterConfig())
+    return pipe.run(images).select(
+        "image_id",
+        "caption",
+        "lang_pred",
+        "lm_log10_prob",
+        "lm_perplexity",
+        "lm_oov_count",
+        "quality_pass",
+        "scrubbed_caption",
+        "keep",
+        "drop_reason",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — Spark side
+# --------------------------------------------------------------------------
+
+def q_score_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A8/W2: full KenLM-semantics sentence scoring (broadcast model +
+    vectorized pandas UDF) — log10 prob, log10 perplexity, OOV, tokens."""
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    scorer = SparkNGramScorer(spark, _model())
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.select(
+        "doc_id",
+        F.round(F.col("log10_prob"), 3).alias("log10_prob"),
+        F.round(
+            -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)), 4
+        ).alias("log10_ppl"),
+        F.col("oov_count"),
+        F.col("n_tokens"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9(langid): Catalyst stopword-profile language identification."""
+    from kenlm_spark.filtering.langid import lang_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_expr("text").alias("lang_pred")
+    )
+
+
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: regex PII/toxicity scrub chain (Catalyst regexp_replace)."""
+    from kenlm_spark.filtering.scrub import scrub_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", scrub_expr("text").alias("scrubbed")
+    )
+
+
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: caption-quality metric columns (all Catalyst expressions)."""
+    from kenlm_spark.filtering.quality import quality_metric_exprs
+
+    m = quality_metric_exprs("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        m["n_chars"].cast("long").alias("n_chars"),
+        m["n_tokens"].cast("long").alias("n_tokens"),
+        m["mean_token_len"].alias("mean_token_len"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["digit_ratio"].alias("digit_ratio"),
+        m["upper_ratio"].alias("upper_ratio"),
+        m["max_token_len"].cast("long").alias("max_token_len"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: boolean keep/drop by heuristic quality rules."""
+    from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
+
+    m = quality_metric_exprs("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_pass_expr(m).alias("quality_pass")
+    )
+
+
+def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule end-to-end: langid + perplexity + heuristics + scrub →
+    keep/drop + drop_reason + scrubbed text, per document."""
+    from kenlm_spark.filtering.langid import lang_expr
+    from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
+    from kenlm_spark.filtering.scrub import scrub_expr
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    scorer = SparkNGramScorer(spark, _model())
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="lm_")
+    m = quality_metric_exprs("text")
+    df = (
+        df.withColumn("lang_pred", lang_expr("text"))
+        .withColumn("quality_pass", quality_pass_expr(m))
+        .withColumn("scrubbed", scrub_expr("text"))
+    )
+    avg_logp = -F.col("lm_log10_prob") / (F.col("lm_n_tokens") + F.lit(1))
+    oov_ratio = F.col("lm_oov_count").cast("double") / F.greatest(
+        F.col("lm_n_tokens"), F.lit(1)
+    )
+    reason = (
+        F.when(~F.col("quality_pass"), F.lit("quality"))
+        .when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(oov_ratio > 0.5, F.lit("oov"))
+        .when(avg_logp > 5.0, F.lit("perplexity"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "doc_id",
+        "lang_pred",
+        "quality_pass",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+        F.col("scrubbed"),
+    )
+
+
+def q_ngram_count_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1: padded bigram counting (explode + partial-agg groupBy)."""
+    from kenlm_spark.operators.ngrams import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), "text", n=2, pad=True)
+
+
+def q_ngram_count_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1 at order 3."""
+    from kenlm_spark.operators.ngrams import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), "text", n=3, pad=True)
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A10: vocabulary with term frequencies."""
+    from kenlm_spark.operators.ngrams import word_counts
+
+    return word_counts(_docs(spark, sf_dir), "text")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General agg coverage: TPC-H Q1-style rollup on lineitem."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+def q_orders_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join coverage: orders ⋈ customer ⋈ broadcast(nation) revenue rollup."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling rollup (batch twin of the streaming operator)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_score_captions": q_score_captions,
+        "q_langid": q_langid,
+        "q_scrub": q_scrub,
+        "q_quality_metrics": q_quality_metrics,
+        "q_quality_filter": q_quality_filter,
+        "q_keep_drop": q_keep_drop,
+        "q_ngram_count_2": q_ngram_count_2,
+        "q_ngram_count_3": q_ngram_count_3,
+        "q_word_freq": q_word_freq,
+        "q_tpch_q1": q_tpch_q1,
+        "q_orders_customer_revenue": q_orders_customer_revenue,
+        "q_events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle SQL — DuckDB dialect
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kenlm_spark.filtering.langid import lang_sql
+    from kenlm_spark.filtering.quality import quality_pass_sql, quality_sql_exprs
+    from kenlm_spark.filtering.scrub import scrub_sql
+    from kenlm_spark.operators.ngrams import ngram_counts_sql
+    from kenlm_spark.oracle import scoring_sql, sql_tokens
+
+    score = scoring_sql(ARPA_PATH, order=_model().order)
+    score_raw = scoring_sql(ARPA_PATH, order=_model().order, include_raw=True)
+    qm = quality_sql_exprs("text")
+    toks = sql_tokens("text")
+
+    keep_drop = f"""
+WITH scored AS ({score_raw})
+SELECT d.doc_id,
+       {lang_sql("d.text")} AS lang_pred,
+       {quality_pass_sql("d.text")} AS quality_pass,
+       CASE
+         WHEN NOT ({quality_pass_sql("d.text")}) THEN 'quality'
+         WHEN ({lang_sql("d.text")}) <> 'en' THEN 'lang'
+         WHEN CAST(s.oov_count AS DOUBLE) / greatest(s.n_tokens, 1) > 0.5
+           THEN 'oov'
+         WHEN -s.log10_prob_raw / (s.n_tokens + 1) > 5.0 THEN 'perplexity'
+         ELSE NULL
+       END AS drop_reason,
+       (CASE
+         WHEN NOT ({quality_pass_sql("d.text")}) THEN 'quality'
+         WHEN ({lang_sql("d.text")}) <> 'en' THEN 'lang'
+         WHEN CAST(s.oov_count AS DOUBLE) / greatest(s.n_tokens, 1) > 0.5
+           THEN 'oov'
+         WHEN -s.log10_prob_raw / (s.n_tokens + 1) > 5.0 THEN 'perplexity'
+         ELSE NULL
+       END) IS NULL AS keep,
+       {scrub_sql("d.text")} AS scrubbed
+FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+    return {
+        "q_score_captions": score,
+        "q_langid": f"SELECT doc_id, {lang_sql('text')} AS lang_pred FROM documents",
+        "q_scrub": f"SELECT doc_id, {scrub_sql('text')} AS scrubbed FROM documents",
+        "q_quality_metrics": (
+            "SELECT doc_id, "
+            f"CAST({qm['n_chars']} AS BIGINT) AS n_chars, "
+            f"CAST({qm['n_tokens']} AS BIGINT) AS n_tokens, "
+            f"{qm['mean_token_len']} AS mean_token_len, "
+            f"{qm['alpha_ratio']} AS alpha_ratio, "
+            f"{qm['digit_ratio']} AS digit_ratio, "
+            f"{qm['upper_ratio']} AS upper_ratio, "
+            f"CAST({qm['max_token_len']} AS BIGINT) AS max_token_len, "
+            f"{qm['distinct_ratio']} AS distinct_ratio "
+            "FROM documents"
+        ),
+        "q_quality_filter": (
+            f"SELECT doc_id, {quality_pass_sql('text')} AS quality_pass "
+            "FROM documents"
+        ),
+        "q_keep_drop": keep_drop,
+        "q_ngram_count_2": ngram_counts_sql("text", "documents", n=2, pad=True),
+        "q_ngram_count_3": ngram_counts_sql("text", "documents", n=3, pad=True),
+        "q_word_freq": (
+            f"SELECT t.word, CAST(count(*) AS BIGINT) AS cnt FROM "
+            f"(SELECT unnest({toks}) AS word FROM documents) t GROUP BY t.word"
+        ),
+        "q_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(AVG(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q_orders_customer_revenue": """
+SELECT n.n_name,
+       round(SUM(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "q_events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(SUM(value), 3) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    }
