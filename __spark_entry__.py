@@ -35,7 +35,11 @@ def _model():
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from kenlm_spark.session import ensure_min_partitions
+
+    return ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -128,7 +132,7 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["alpha_ratio"].alias("alpha_ratio"),
         m["digit_ratio"].alias("digit_ratio"),
         m["upper_ratio"].alias("upper_ratio"),
-        m["max_token_len"].cast("long").alias("max_token_len"),
+        m["has_long_token"].alias("has_long_token"),
         m["distinct_ratio"].alias("distinct_ratio"),
     )
 
@@ -315,7 +319,7 @@ FROM documents d JOIN scored s ON s.doc_id = d.doc_id
             f"{qm['alpha_ratio']} AS alpha_ratio, "
             f"{qm['digit_ratio']} AS digit_ratio, "
             f"{qm['upper_ratio']} AS upper_ratio, "
-            f"CAST({qm['max_token_len']} AS BIGINT) AS max_token_len, "
+            f"{qm['has_long_token']} AS has_long_token, "
             f"{qm['distinct_ratio']} AS distinct_ratio "
             "FROM documents"
         ),

@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Mirrors the reference's throughput definition — queries/sec excluding model
+load (lm/kenlm_benchmark_main.cc:124-131): the ARPA model is parsed before
+any timer starts; timings cover Spark execution (scan → compute → noop sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _time(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    import __spark_entry__ as entrymod
+    from kenlm_spark.session import get_spark
+
+    entrymod._model()  # parse ARPA before timing (reference excludes load)
+    spark = get_spark("kenlm_spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    headline = [
+        "q_keep_drop",
+        "q_score_captions",
+        "q_langid",
+        "q_scrub",
+        "q_quality_metrics",
+        "q_ngram_count_3",
+        "q_word_freq",
+        "q_tpch_q1",
+        "q_orders_customer_revenue",
+        "q_events_hourly",
+    ]
+    headline = [h for h in headline if h in qs] + [
+        k for k in qs if k not in headline
+    ]
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # Warmup: JVM codegen, Arrow path, Python workers, broadcast ship.
+    _time(qs["q_langid"](spark, sf_dir))
+    _time(qs["q_score_captions"](spark, sf_dir))
+
+    # Steady-state: run twice, report the second (the reference's
+    # queries/sec likewise excludes one-time load effects).
+    timings: dict[str, float] = {}
+    for name in headline:
+        _time(qs[name](spark, sf_dir))
+        timings[name] = round(_time(qs[name](spark, sf_dir)), 4)
+
+    pipeline_sec = timings.get("q_keep_drop", timings.get("q_score_captions", 1.0))
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "captions_per_sec": round(n_docs / max(pipeline_sec, 1e-9), 1),
+        "n_captions": n_docs,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

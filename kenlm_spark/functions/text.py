@@ -22,11 +22,15 @@ PY_TOKEN_RE = re.compile("[\x00\t\n\r ]+")
 def tokenize(col: Column | str) -> Column:
     """caption → array<string> of non-empty tokens (Catalyst expression).
 
-    ``F.split`` keeps empty strings at the edges; filter them the same way
-    the reference skips delimiter runs.
+    ``F.split`` keeps empty strings at the edges; ``array_remove`` drops
+    them the same way the reference skips delimiter runs. array_remove is
+    used instead of a ``filter`` lambda because interpreted higher-order
+    functions allocate heavily and throttle multi-core scaling (measured:
+    lambda-based variants stopped scaling past 8 local cores from GC
+    pressure).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, TOKEN_DELIMS_RE), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(c, TOKEN_DELIMS_RE), "")
 
 
 def py_tokenize(text: str) -> list[str]:

@@ -93,7 +93,7 @@ class QualityFilterPipeline:
         df = self.salt_by_length(images, text_col)
         df = df.withColumn("lang_pred", lang_expr(text_col))
         df = self.scorer.with_scores(df, text_col, prefix="lm_")
-        metrics = quality_metric_exprs(text_col)
+        metrics = quality_metric_exprs(text_col, cfg.quality)
         for name, col in metrics.items():
             df = df.withColumn(name, col)
         df = df.withColumn("quality_pass", quality_pass_expr(metrics, cfg.quality))

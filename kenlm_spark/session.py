@@ -42,3 +42,17 @@ def get_spark(
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ensure_min_partitions(df, min_parts: int | None = None):
+    """Repartition ONLY if the scan has fewer splits than requested.
+
+    Small single-file inputs otherwise serialize compute-heavy per-row work
+    (explode, UDF scoring) onto one task. At production scale the scan has
+    thousands of splits and this is a no-op — no shuffle is added.
+    """
+    spark = df.sparkSession
+    min_parts = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df

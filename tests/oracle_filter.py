@@ -25,7 +25,7 @@ QUALITY = {
     "min_alpha_ratio": 0.5,
     "max_digit_ratio": 0.2,
     "max_upper_ratio": 0.5,
-    "max_token_len": 30,
+    "long_token_limit": 30,
     "min_distinct_ratio": 0.4,
 }
 
@@ -41,7 +41,7 @@ def quality_pass(text: str) -> bool:
     alpha = len(re.sub("[^a-zA-Z]", "", text)) / safe_c
     digit = len(re.sub("[^0-9]", "", text)) / safe_c
     upper = len(re.sub("[^A-Z]", "", text)) / safe_c
-    max_tok = max((len(t) for t in toks), default=0)
+    has_long = any(len(t) > QUALITY["long_token_limit"] for t in toks)
     distinct = len({t.lower() for t in toks}) / safe_n
     q = QUALITY
     return (
@@ -50,7 +50,7 @@ def quality_pass(text: str) -> bool:
         and alpha >= q["min_alpha_ratio"]
         and digit <= q["max_digit_ratio"]
         and upper <= q["max_upper_ratio"]
-        and max_tok <= q["max_token_len"]
+        and not has_long
         and distinct >= q["min_distinct_ratio"]
     )
 
