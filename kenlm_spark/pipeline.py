@@ -57,7 +57,14 @@ class FilterConfig:
     max_oov_ratio: float = 0.5
     quality: dict = field(default_factory=dict)
     stupid_backoff: bool = False
-    salt_buckets: int = 16
+    #: 0 disables the salted repartition. The filter is map-only, so by
+    #: default no shuffle is inserted at all — per-split byte sizing
+    #: (spark.sql.files.maxPartitionBytes) plus the scorer's in-UDF token
+    #: re-chunking already bound skew. Set >0 when the INPUT partitioning
+    #: itself is length/language-skewed (e.g. source files sorted by
+    #: caption length), which is when a salted redistribution pays for its
+    #: full-data shuffle.
+    salt_buckets: int = 0
     length_buckets: tuple[int, ...] = (8, 32, 128, 512)
 
 
@@ -90,7 +97,11 @@ class QualityFilterPipeline:
 
     def run(self, images: DataFrame, text_col: str = "caption") -> DataFrame:
         cfg = self.config
-        df = self.salt_by_length(images, text_col)
+        df = (
+            self.salt_by_length(images, text_col)
+            if cfg.salt_buckets > 0
+            else images
+        )
         df = df.withColumn("lang_pred", lang_expr(text_col))
         df = self.scorer.with_scores(df, text_col, prefix="lm_")
         metrics = quality_metric_exprs(text_col, cfg.quality)
