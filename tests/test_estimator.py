@@ -1,0 +1,172 @@
+"""Estimator tests: golden counting (corpus_count_test.cc), discount math,
+probability-mass invariants, and ARPA round-trip through the scorer."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenlm_spark.estimator import (
+    BadDiscountError,
+    Discount,
+    adjusted_counts,
+    compute_discount,
+    count_windows,
+    estimate,
+    to_ngram_model,
+    write_arpa,
+)
+
+# The 4-line corpus of /root/reference/lm/builder/corpus_count_test.cc:59
+CORPUS = [
+    "looking on a little more loin",
+    "on a little more loin",
+    "on foo little more loin",
+    "bar",
+    "",
+]
+
+# Golden order-3 window counts from corpus_count_test.cc:35-52 (after
+# summing the per-block partials the streaming test observes).
+GOLDEN_WINDOWS = {
+    "<s> <s> looking": 1,
+    "<s> looking on": 1,
+    "looking on a": 1,
+    "on a little": 2,
+    "a little more": 2,
+    "little more loin": 3,
+    "more loin </s>": 3,
+    "<s> <s> on": 2,
+    "<s> on a": 1,
+    "<s> on foo": 1,
+    "on foo little": 1,
+    "foo little more": 1,
+    "<s> <s> bar": 1,
+    "<s> bar </s>": 1,
+    "<s> <s> </s>": 1,
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], "text string")
+
+
+def test_count_windows_golden(spark, corpus_df):
+    rows = count_windows(corpus_df, "text", 3).collect()
+    got = {" ".join(r["words"]): r["count"] for r in rows}
+    assert got == GOLDEN_WINDOWS
+
+
+def test_adjusted_counts_semantics(spark, corpus_df):
+    windows = count_windows(corpus_df, "text", 3)
+    grams = adjusted_counts(windows, 3)
+    tri = {" ".join(r["words"]): r["count"] for r in grams[3].collect()}
+    # CollapseStream drops multi-<s> windows from the model set.
+    assert "<s> <s> looking" not in tri
+    assert tri["<s> looking on"] == 1
+    assert tri["little more loin"] == 3
+
+    bi = {" ".join(r["words"]): r["count"] for r in grams[2].collect()}
+    # "<s> looking" keeps its raw count (BOS exception).
+    assert bi["<s> looking"] == 1
+    assert bi["<s> on"] == 2
+    # "more loin": distinct left extensions of suffix = {little} -> 1
+    assert bi["more loin"] == 1
+    # "little more": distinct left extensions {a, foo} -> 2
+    assert bi["little more"] == 2
+
+    uni = {" ".join(r["words"]): r["count"] for r in grams[1].collect()}
+    assert uni["<unk>"] == 0
+    assert uni["<s>"] == 0
+    # "loin": distinct preceders {more} -> 1;  "little": {a, foo} -> 2
+    assert uni["loin"] == 1
+    assert uni["little"] == 2
+    # "</s>": distinct preceders {loin, bar, <s>} -> 3
+    assert uni["</s>"] == 3
+
+
+def test_compute_discount_formula():
+    n = {1: 100, 2: 50, 3: 30, 4: 20}
+    y = 100 / (100 + 2 * 50)
+    d = compute_discount(n)
+    assert d.d1 == pytest.approx(1 - 2 * y * 50 / 100)
+    assert d.d2 == pytest.approx(2 - 3 * y * 30 / 50)
+    assert d.d3plus == pytest.approx(3 - 4 * y * 20 / 30)
+
+
+def test_compute_discount_fallback_and_throw():
+    bad = {1: 0, 2: 5}
+    with pytest.raises(BadDiscountError):
+        compute_discount(bad, fallback=None)
+    d = compute_discount(bad, fallback=Discount(0.5, 1.0, 1.5))
+    assert (d.d1, d.d2, d.d3plus) == (0.5, 1.0, 1.5)
+
+
+@pytest.fixture(scope="module")
+def estimated(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    model_df, discounts = estimate(docs, "text", order=3)
+    return model_df.collect(), discounts
+
+
+def test_estimate_probability_mass(estimated):
+    rows, _ = estimated
+    uni = [r for r in rows if r["order"] == 1]
+    # Sum over all unigrams except <s> must be 1 (zeroton <unk> included via
+    # its gamma*uniform mass).
+    total = sum(
+        10.0 ** r["log10_prob"] for r in uni if r["words"] != ["<s>"]
+    )
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_estimate_context_mass(estimated, spark):
+    """For an observed bigram context, sum_w p(w|ctx) over the full vocab
+    must be 1 — the defining invariant of interpolated KN."""
+    rows, _ = estimated
+    model = to_ngram_model(_as_df(spark, rows), 3)
+    uni_words = [r["words"][0] for r in rows if r["order"] == 1]
+    # pick the most frequent bigram context
+    bi = [r for r in rows if r["order"] == 2 and r["words"][0] not in ("<s>",)]
+    ctx_words = bi[0]["words"]
+    # Build the scoring state by feeding the context through the model so
+    # the recorded backoffs are the real ones.
+    state = model.null_context_state()
+    for w in ctx_words:
+        _, state = model.full_score(state, model.word_id(w))
+    total = 0.0
+    for w in uni_words:
+        if w == "<s>":
+            continue
+        ret, _ = model.full_score(state, model.word_id(w))
+        total += 10.0 ** ret.log10_prob
+    assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def _as_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["order"], r["words"], r["log10_prob"], r["log10_backoff"]) for r in rows],
+        "order int, words array<string>, log10_prob double, log10_backoff double",
+    )
+
+
+def test_arpa_roundtrip(estimated, spark, tmp_path):
+    rows, _ = estimated
+    path = str(tmp_path / "est.arpa")
+    write_arpa([r.asDict() for r in rows], 3, path)
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    loaded = load_arpa(path)
+    direct = to_ngram_model(_as_df(spark, rows), 3)
+    for sent in ["the data table", "spark query plan row", "zzz unseen words here"]:
+        assert loaded.score(sent) == pytest.approx(direct.score(sent), abs=2e-4)
+
+
+def test_estimated_model_scores_sane(estimated, spark):
+    rows, _ = estimated
+    model = to_ngram_model(_as_df(spark, rows), 3)
+    s = model.score("the data table")
+    assert math.isfinite(s) and s < 0
+    # A frequent in-vocab word should beat OOV junk.
+    assert model.score("the") > model.score("qqqqxyz")
