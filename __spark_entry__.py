@@ -205,6 +205,50 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_counts(_docs(spark, sf_dir), "text")
 
 
+def q_lm_windows_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1 (estimation side): order-3 window counting with BOS padding."""
+    from kenlm_spark.estimator import count_windows
+
+    w = count_windows(_docs(spark, sf_dir), "text", 3)
+    return w.select(
+        F.concat_ws(" ", "words").alias("gram"), F.col("count").alias("cnt")
+    )
+
+
+def _adjusted(spark: SparkSession, sf_dir: str, level: int) -> DataFrame:
+    from kenlm_spark.estimator import adjusted_counts, count_windows
+
+    w = count_windows(_docs(spark, sf_dir), "text", 3)
+    grams = adjusted_counts(w, 3)
+    return grams[level].select(
+        F.concat_ws(" ", "words").alias("gram"), F.col("count").alias("cnt")
+    )
+
+
+def q_lm_adjusted_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: Kneser-Ney continuation counts at order 2 (BOS exception incl.)."""
+    return _adjusted(spark, sf_dir, 2)
+
+
+def q_lm_adjusted_1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A10: adjusted unigram counts with forced <unk>/<s> zerotons."""
+    return _adjusted(spark, sf_dir, 1)
+
+
+def q_lm_model_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A7/J6/J7: full lmplz-equivalent estimation (discounts, gammas,
+    interpolation, backoffs) as a model table."""
+    from kenlm_spark.estimator import estimate
+
+    model, _ = estimate(_docs(spark, sf_dir), "text", order=3)
+    return model.select(
+        F.col("order").alias("ord"),
+        F.concat_ws(" ", "words").alias("gram"),
+        F.round("log10_prob", 6).alias("log10_prob"),
+        F.round("log10_backoff", 6).alias("log10_backoff"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg coverage: TPC-H Q1-style rollup on lineitem."""
     li = _read(spark, sf_dir, "lineitem").filter(
@@ -260,6 +304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_count_2": q_ngram_count_2,
         "q_ngram_count_3": q_ngram_count_3,
         "q_word_freq": q_word_freq,
+        "q_lm_windows_3": q_lm_windows_3,
+        "q_lm_adjusted_2": q_lm_adjusted_2,
+        "q_lm_adjusted_1": q_lm_adjusted_1,
+        "q_lm_model_3": q_lm_model_3,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
         "q_events_hourly": q_events_hourly,
@@ -274,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_spark.filtering.langid import lang_sql
     from kenlm_spark.filtering.quality import quality_pass_sql, quality_sql_exprs
     from kenlm_spark.filtering.scrub import scrub_sql
+    from kenlm_spark import estimator_sql as est_sql
     from kenlm_spark.operators.ngrams import ngram_counts_sql
     from kenlm_spark.oracle import scoring_sql, sql_tokens
 
@@ -334,6 +383,10 @@ FROM documents d JOIN scored s ON s.doc_id = d.doc_id
             f"SELECT t.word, CAST(count(*) AS BIGINT) AS cnt FROM "
             f"(SELECT unnest({toks}) AS word FROM documents) t GROUP BY t.word"
         ),
+        "q_lm_windows_3": est_sql.windows_sql("documents", "text", 3),
+        "q_lm_adjusted_2": est_sql.adjusted_sql("documents", "text", 3, level=2),
+        "q_lm_adjusted_1": est_sql.adjusted_sql("documents", "text", 3, level=1),
+        "q_lm_model_3": est_sql.model_sql("documents", "text", 3),
         "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2) AS sum_qty,
