@@ -249,6 +249,54 @@ def q_lm_model_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): hash-groupBy duplicate groups with canonical survivor."""
+    from kenlm_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (near, MinHash+LSH): shingle→minhash→band→bucket-join→verify."""
+    from kenlm_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (near, SimHash): bit-majority fingerprint per document."""
+    from kenlm_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (near, SimHash): Hamming<=3 candidate pairs via byte bands."""
+    from kenlm_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact cosine top-10 for 8 query vectors."""
+    from kenlm_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_ids=list(range(8)), k=10)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketed candidates, exact re-rank.
+
+    No SQL oracle (approximate operator); the test suite checks recall
+    against the exact top-k.
+    """
+    from kenlm_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, query_ids=list(range(8)), k=10)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg coverage: TPC-H Q1-style rollup on lineitem."""
     li = _read(spark, sf_dir, "lineitem").filter(
@@ -308,6 +356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_lm_model_3": q_lm_model_3,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_similarity_topk": q_similarity_topk,
+        "q_similarity_lsh": q_similarity_lsh,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
         "q_events_hourly": q_events_hourly,
@@ -323,6 +377,8 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_spark.filtering.quality import quality_pass_sql, quality_sql_exprs
     from kenlm_spark.filtering.scrub import scrub_sql
     from kenlm_spark import estimator_sql as est_sql
+    from kenlm_spark.operators import dedup
+    from kenlm_spark.operators import similarity as sim
     from kenlm_spark.operators.ngrams import ngram_counts_sql
     from kenlm_spark.oracle import scoring_sql, sql_tokens
 
@@ -387,6 +443,11 @@ FROM documents d JOIN scored s ON s.doc_id = d.doc_id
         "q_lm_adjusted_2": est_sql.adjusted_sql("documents", "text", 3, level=2),
         "q_lm_adjusted_1": est_sql.adjusted_sql("documents", "text", 3, level=1),
         "q_lm_model_3": est_sql.model_sql("documents", "text", 3),
+        "q_dedup_exact": dedup.exact_duplicates_sql(),
+        "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
+        "q_dedup_simhash": dedup.simhash_sql(),
+        "q_dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
+        "q_similarity_topk": sim.brute_force_topk_sql(list(range(8)), k=10),
         "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2) AS sum_qty,

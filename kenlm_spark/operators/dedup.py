@@ -1,0 +1,322 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a first-class `queries()` entry with a DuckDB oracle:
+
+* exact          — hash-groupBy on normalized text (one shuffle).
+* MinHash + LSH  — shingle → K minhashes → band buckets → bucket-join →
+                   exact-Jaccard verify. The scale path for near-dup at
+                   10^12 docs: candidate generation is a groupBy on band
+                   keys (linear), never an all-pairs join.
+* SimHash        — bit-majority fingerprint over token hashes; near-dup =
+                   small Hamming distance, candidates via byte bands.
+* n-gram Jaccard — the verify step, also usable standalone on candidates.
+
+Cross-engine hash: h(s) = int(md5(s)[0:15], 16) — 60 bits, identical in
+Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+(`CAST('0x' || substring(md5(x),1,15) AS BIGINT)`), so every stage is
+oracle-checkable. Per-hash-family salting uses md5("i:"+s).
+
+Scale notes: normalization/shingling is per-row Catalyst; signatures are
+one explode + one groupBy with K min() partial aggregates; LSH banding
+re-keys the signature table (no data explosion beyond bucket pairs);
+skewed buckets (boilerplate shingles) are capped by `max_bucket` with a
+logged drop — the standard guard against quadratic bucket blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kenlm_spark.functions.text import TOKEN_DELIMS_RE
+
+# ----------------------------------------------------------------- helpers
+
+
+def norm_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), TOKEN_DELIMS_RE, " ")
+
+
+def _norm_sql(text: str) -> str:
+    return (
+        f"regexp_replace(lower(coalesce({text}, '')), "
+        "'[\\x00\\t\\n\\r ]+', ' ', 'g')"
+    )
+
+
+def h60(col: Column) -> Column:
+    """Shared 60-bit hash: int(md5(x)[0:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(x: str) -> str:
+    return f"CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def shingles_expr(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text."""
+    toks = F.array_remove(F.split(norm_text(col), " "), "")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(sh)
+
+
+def _shingles_sql(text: str, k: int = 3) -> str:
+    toks = f"list_filter(regexp_split_to_array({_norm_sql(text)}, ' '), t -> t <> '')"
+    return f"""list_distinct(
+      CASE WHEN len({toks}) >= {k}
+           THEN list_transform(generate_series(1, len({toks}) - {k - 1}),
+                               i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))
+           ELSE [array_to_string({toks}, ' ')] END)"""
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, keep_id): groups of byte-identical (normalized)
+    docs; keep_id is the smallest id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col).alias("id"), h60(norm_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+        )
+    )
+
+
+def exact_duplicates_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {_h60_sql(_norm_sql(text_col))} AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       MIN({id_col}) AS keep_id
+FROM {table} GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k_hashes: int = 16, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{K-1}): K minhash values per document."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_k)).alias("s")
+    )
+    hashed = sh.select(
+        "id",
+        *[
+            h60(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+            for i in range(k_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"sig_{i}") for i in range(k_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k_hashes: int = 16, band_size: int = 2, shingle_k: int = 3,
+    jaccard_threshold: float = 0.7, max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Bands of `band_size` minhashes bucket candidates; buckets larger than
+    `max_bucket` are dropped (boilerplate guard); candidates verified with
+    exact shingle Jaccard.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k_hashes, shingle_k)
+    n_bands = k_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        part = sigs.select(
+            "id",
+            F.lit(b).alias("band"),
+            h60(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    big = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+    bands = bands.join(big.select("band", "bucket"), ["band", "bucket"], "left_anti")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, shingle_k).alias("sh")
+    )
+    pairs = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / union
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    k_hashes: int = 16, band_size: int = 2, shingle_k: int = 3,
+    jaccard_threshold: float = 0.7, max_bucket: int = 1000,
+) -> str:
+    sig_cols = ", ".join(
+        f"MIN({_h60_sql(repr(str(i) + ':') + ' || s')}) AS sig_{i}"
+        for i in range(k_hashes)
+    )
+    n_bands = k_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(sig_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, {_h60_sql('(' + cols + ')')} AS bucket FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, {_shingles_sql(text_col, shingle_k)} AS shl FROM {table}
+),
+exploded AS (SELECT id, unnest(shl) AS s FROM sh),
+sigs AS (SELECT id, {sig_cols} FROM exploded GROUP BY id),
+bands AS ({bands_union}),
+small AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket}
+),
+kept AS (SELECT b.* FROM bands b JOIN small s USING (band, bucket)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+verified AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+               / (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))),
+               6) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.id = p.id_a
+  JOIN sh sb ON sb.id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {jaccard_threshold}
+"""
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash): bit-majority fingerprint over token 60-bit hashes."""
+    toks = F.array_remove(F.split(norm_text(text_col), " "), "")
+    t = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    t = t.select("id", h60(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy("id").agg(F.count("*").alias("n"), *bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 16,
+) -> str:
+    toks = f"list_filter(regexp_split_to_array({_norm_sql(text_col)}, ' '), t -> t <> '')"
+    bit_sums = ", ".join(
+        f"SUM((h >> {b}) & 1) AS b{b}" for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {_h60_sql('tok')} AS h
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+),
+agg AS (SELECT id, count(*) AS n, {bit_sums} FROM t GROUP BY id)
+SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 16, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, candidates via byte bands."""
+    sig = simhash(df, id_col, text_col, bits)
+    lo = sig.select("id", "simhash", F.col("simhash").bitwiseAND(F.lit(0xFF)).alias("band_key"), F.lit(0).alias("band"))
+    hi = sig.select("id", "simhash", F.shiftright("simhash", 8).bitwiseAND(F.lit(0xFF)).alias("band_key"), F.lit(1).alias("band"))
+    bands = lo.unionByName(hi)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def simhash_near_pairs_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 16, max_hamming: int = 3,
+) -> str:
+    inner = simhash_sql(table, id_col, text_col, bits).strip()
+    return f"""
+WITH sig AS ({inner}),
+bands AS (
+  SELECT id, simhash, simhash & 255 AS band_key, 0 AS band FROM sig
+  UNION ALL
+  SELECT id, simhash, (simhash >> 8) & 255 AS band_key, 1 AS band FROM sig
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

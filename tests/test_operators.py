@@ -1,0 +1,108 @@
+"""Tests for dedup / similarity / ngram operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_duplicates_catches_planted(spark):
+    from kenlm_spark.operators.dedup import exact_duplicates
+
+    rows = [(1, "a b c"), (2, "a  b\tc"), (3, "different text"), (4, "A b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["keep_id"]: r["n_docs"] for r in exact_duplicates(df).collect()}
+    # 1,2,4 normalize to "a b c" (whitespace collapsed, lowercased)
+    assert out[1] == 3
+    assert out[3] == 1
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    from kenlm_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),  # near-dup of 1
+        (3, "completely unrelated words about spark query planning"),
+        (4, base.replace("quick", "quick very") + " ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_hamming_for_near_text(spark):
+    from kenlm_spark.operators.dedup import simhash
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    near = bin(sigs[1] ^ sigs[2]).count("1")
+    far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert near < far
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    from kenlm_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+    qids = list(range(8))
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = lsh_bucket_topk(emb, qids, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # 8 tables x 4 planes
+
+
+def test_pandas_topk_matches_catalyst(spark, emb):
+    from kenlm_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+
+    qids = [0, 1, 2]
+    qrows = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = np.array([list(r["embedding"]) for r in qrows])
+    a = brute_force_topk(emb, qids, k=5).collect()
+    b = brute_force_topk_pandas(emb, qvecs, qids, k=5).collect()
+    sa = {(r["query_id"], r["neighbor_id"]) for r in a}
+    sb = {(r["query_id"], r["neighbor_id"]) for r in b}
+    # Allow boundary ties to differ on at most one neighbor per query.
+    assert len(sa & sb) >= len(sa) - len(qids)
+
+
+def test_ngram_counts_pad_semantics(spark):
+    from kenlm_spark.operators.ngrams import ngram_counts
+
+    df = spark.createDataFrame([("a b",), ("",)], "text string")
+    out = {r["gram"]: r["cnt"] for r in ngram_counts(df, "text", 2, pad=True).collect()}
+    assert out == {"<s> a": 1, "a b": 1, "b </s>": 1, "<s> </s>": 1}
