@@ -297,6 +297,61 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, query_ids=list(range(8)), k=10)
 
 
+def _ngrams_df(spark: SparkSession) -> DataFrame:
+    """The golden ARPA model as an ngrams(order, words) DataFrame."""
+    from kenlm_spark.oracle import arpa_ngram_rows
+
+    rows = [(n, g.split(" ")) for n, g, _, _ in arpa_ngram_rows(ARPA_PATH)]
+    return spark.createDataFrame(rows, "order int, words array<string>")
+
+
+def q_filter_vocab_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: model filter, Single mode — every non-tag word in the corpus
+    vocabulary (tags <...> always pass)."""
+    from kenlm_spark.operators.model_filter import filter_single
+
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    out = filter_single(_ngrams_df(spark), vocab)
+    return out.select(F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram"))
+
+
+def q_filter_vocab_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: model filter, Multiple mode — fan out each n-gram to every
+    sentence whose vocabulary covers it."""
+    from kenlm_spark.operators.model_filter import filter_multiple, sentence_postings
+
+    postings = sentence_postings(_docs(spark, sf_dir))
+    out = filter_multiple(_ngrams_df(spark), postings)
+    return out.select(
+        F.col("order").alias("ord"),
+        F.concat_ws(" ", "words").alias("gram"),
+        F.col("sent_id"),
+    )
+
+
+def q_filter_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: model filter, Union mode — kept iff some sentence covers it."""
+    from kenlm_spark.operators.model_filter import filter_union, sentence_postings
+
+    postings = sentence_postings(_docs(spark, sf_dir))
+    out = filter_union(_ngrams_df(spark), postings)
+    return out.select(F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: metadata over a synthesized binary column."""
+    from kenlm_spark.operators.multimodal import binary_meta
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.unhex(F.md5("text")).alias("blob")
+    )
+    return binary_meta(df, "doc_id", "blob")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg coverage: TPC-H Q1-style rollup on lineitem."""
     li = _read(spark, sf_dir, "lineitem").filter(
@@ -362,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_lsh": q_similarity_lsh,
+        "q_filter_vocab_single": q_filter_vocab_single,
+        "q_filter_vocab_union": q_filter_vocab_union,
+        "q_filter_vocab_multiple": q_filter_vocab_multiple,
+        "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
         "q_events_hourly": q_events_hourly,
@@ -371,6 +430,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle SQL — DuckDB dialect
 # --------------------------------------------------------------------------
+
+def _ng_cte() -> str:
+    """ng(ord, gram) VALUES CTE of the golden ARPA model's n-grams."""
+    from kenlm_spark.oracle import arpa_ngram_rows
+
+    vals = ",\n    ".join(
+        f"({n}, '{g.replace(chr(39), chr(39) * 2)}')"
+        for n, g, _, _ in arpa_ngram_rows(ARPA_PATH)
+    )
+    return f"ng(ord, gram) AS (VALUES\n    {vals})"
+
 
 def oracle_sql() -> dict[str, str]:
     from kenlm_spark.filtering.langid import lang_sql
@@ -448,6 +518,72 @@ FROM documents d JOIN scored s ON s.doc_id = d.doc_id
         "q_dedup_simhash": dedup.simhash_sql(),
         "q_dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
         "q_similarity_topk": sim.brute_force_topk_sql(list(range(8)), k=10),
+        "q_filter_vocab_single": f"""
+WITH {_ng_cte()},
+w AS (SELECT ord, gram, unnest(string_split(gram, ' ')) AS word FROM ng),
+v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+miss AS (
+  SELECT DISTINCT ord, gram FROM w
+  WHERE NOT regexp_matches(word, '^<.*>$')
+    AND word NOT IN (SELECT word FROM v)
+)
+SELECT n.ord, n.gram FROM ng n
+LEFT JOIN miss m ON m.ord = n.ord AND m.gram = n.gram
+WHERE m.gram IS NULL
+""",
+        "q_filter_vocab_union": f"""
+WITH {_ng_cte()},
+posting AS (SELECT DISTINCT doc_id AS sent_id,
+                   unnest({toks}) AS word FROM documents),
+cw AS (SELECT DISTINCT ord, gram, word
+       FROM (SELECT ord, gram, unnest(string_split(gram, ' ')) AS word FROM ng)
+       WHERE NOT regexp_matches(word, '^<.*>$')),
+nw AS (SELECT ord, gram, count(*) AS n FROM cw GROUP BY ord, gram),
+hits AS (
+  SELECT c.ord, c.gram, p.sent_id, count(DISTINCT c.word) AS h
+  FROM cw c JOIN posting p USING (word) GROUP BY c.ord, c.gram, p.sent_id
+),
+qual AS (
+  SELECT DISTINCT h.ord, h.gram
+  FROM hits h JOIN nw USING (ord, gram) WHERE h.h = nw.n
+),
+tagonly AS (
+  SELECT n.ord, n.gram FROM ng n LEFT JOIN nw USING (ord, gram)
+  WHERE nw.n IS NULL
+)
+SELECT ord, gram FROM qual UNION ALL SELECT ord, gram FROM tagonly
+""",
+        "q_filter_vocab_multiple": f"""
+WITH {_ng_cte()},
+posting AS (SELECT DISTINCT doc_id AS sent_id,
+                   unnest({toks}) AS word FROM documents),
+cw AS (SELECT DISTINCT ord, gram, word
+       FROM (SELECT ord, gram, unnest(string_split(gram, ' ')) AS word FROM ng)
+       WHERE NOT regexp_matches(word, '^<.*>$')),
+nw AS (SELECT ord, gram, count(*) AS n FROM cw GROUP BY ord, gram),
+hits AS (
+  SELECT c.ord, c.gram, p.sent_id, count(DISTINCT c.word) AS h
+  FROM cw c JOIN posting p USING (word) GROUP BY c.ord, c.gram, p.sent_id
+),
+qual AS (
+  SELECT h.ord, h.gram, h.sent_id
+  FROM hits h JOIN nw USING (ord, gram) WHERE h.h = nw.n
+),
+tagonly AS (
+  SELECT n.ord, n.gram, s.sent_id
+  FROM ng n LEFT JOIN nw USING (ord, gram)
+  CROSS JOIN (SELECT DISTINCT sent_id FROM posting) s
+  WHERE nw.n IS NULL
+)
+SELECT ord, gram, sent_id FROM qual
+UNION ALL SELECT ord, gram, sent_id FROM tagonly
+""",
+        "q_multimodal_meta": """
+SELECT doc_id,
+       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT) AS first_byte
+FROM documents
+""",
         "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,78 @@
+"""Structured Streaming variants of the engine's operators.
+
+The reference is a batch system (its util/stream is an intra-process
+pipeline, SURVEY.md §2.9), so these are additive capabilities:
+
+* ``hourly_event_rollup_stream`` — event-time tumbling window with a
+  watermark for late data; the batch twin is ``q_events_hourly``, and the
+  test asserts both produce identical results under availableNow.
+* ``filtered_captions_stream`` — the full quality-filter pipeline on a
+  stream. Every stage is stateless/map-only (langid/quality/scrub are
+  Catalyst projections, the scorer is a pandas UDF), so it runs unchanged
+  on a streaming DataFrame — the Spark-first payoff of keeping the
+  pipeline shuffle-free.
+
+At production scale the source would be Kafka or an Iceberg
+streaming-read; tests use the file source over the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_event_rollup_stream(
+    spark: SparkSession, events_path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # Parquet infers TIMESTAMP_NTZ; watermarks need TIMESTAMP (session UTC,
+    # so the wall-clock value is unchanged).
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def filtered_captions_stream(
+    spark: SparkSession, images_path: str, model, config=None
+) -> DataFrame:
+    """Streaming quality filter: same stages, streaming source."""
+    from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+
+    schema = spark.read.parquet(images_path).schema
+    stream = spark.readStream.schema(schema).parquet(images_path)
+    pipe = QualityFilterPipeline(spark, model, config or FilterConfig())
+    # salt_by_length would repartition; streams stay map-only.
+    assert pipe.config.salt_buckets == 0, "streaming filter must be map-only"
+    return pipe.run(stream)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+    """Drain a bounded stream into a memory sink; return the rows."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,98 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_hourly_matches_batch(spark, sf_dir, tmp_path):
+    from kenlm_spark.streaming.jobs import hourly_event_rollup_stream, run_available_now
+
+    # The streaming file source wants a directory; stage the table into one.
+    events_path = str(tmp_path / "events_dir")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_path)
+    stream_rows = run_available_now(
+        hourly_event_rollup_stream(spark, events_path), "hourly_test"
+    )
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["hour"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["sum_value"]) for r in stream_rows}
+    want = {key(r): (r["n_events"], r["sum_value"]) for r in batch}
+    assert got == want
+
+
+def test_stream_filter_matches_batch(spark, arpa_model, tmp_path):
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+    from kenlm_spark.streaming.jobs import filtered_captions_stream, run_available_now
+
+    images = generate_images(spark, n_rows=150, seed=5)
+    path = str(tmp_path / "images_pq")
+    images.write.parquet(path)
+
+    stream_rows = run_available_now(
+        filtered_captions_stream(spark, path, arpa_model).select(
+            "image_id", "keep", "drop_reason", "scrubbed_caption"
+        ),
+        "filter_stream_test",
+    )
+    batch_rows = (
+        QualityFilterPipeline(spark, arpa_model, FilterConfig())
+        .run(spark.read.parquet(path))
+        .select("image_id", "keep", "drop_reason", "scrubbed_caption")
+        .collect()
+    )
+    got = {r["image_id"]: (r["keep"], r["drop_reason"], r["scrubbed_caption"]) for r in stream_rows}
+    want = {r["image_id"]: (r["keep"], r["drop_reason"], r["scrubbed_caption"]) for r in batch_rows}
+    assert got == want
+    assert len(got) == 150
+
+
+def test_image_features_real_decode(spark):
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.operators.multimodal import image_features
+
+    images = generate_images(spark, n_rows=40, seed=9)
+    feats = {r["image_id"]: r for r in image_features(images).collect()}
+    assert len(feats) == 40
+    src = {r["image_id"]: r for r in images.collect()}
+    for iid, f in feats.items():
+        assert f["decoded_real"] is True  # fmt='raw' decodes for real
+        assert f["dec_w"] == src[iid]["w"] and f["dec_h"] == src[iid]["h"]
+        arr = np.frombuffer(bytes(src[iid]["bytes"]), dtype=np.uint8)
+        assert f["mean_r"] == pytest.approx(float(arr[0::3].mean()), abs=1e-6)
+        assert len(f["thumb"]) == 16
+
+
+def test_fake_decode_is_deterministic():
+    from kenlm_spark.operators.multimodal import _decode_one
+
+    a1, real1 = _decode_one(b"\x01\x02\x03", 8, 8, "png")
+    a2, real2 = _decode_one(b"\x01\x02\x03", 8, 8, "png")
+    assert not real1 and not real2
+    assert np.array_equal(a1, a2)
+    assert a1.shape == (8, 8, 3)
+
+
+def test_frame_sample_stub(spark):
+    from kenlm_spark.operators.multimodal import frame_sample
+
+    with pytest.raises(NotImplementedError):
+        frame_sample(None)
+
+
+def test_binary_meta(spark):
+    from kenlm_spark.operators.multimodal import binary_meta
+
+    df = spark.createDataFrame([(1, bytearray(b"\xab\xcd\xef"))], "id long, b binary")
+    row = binary_meta(df, "id", "b").collect()[0]
+    assert row["n_bytes"] == 3
+    assert row["first_byte"] == 0xAB
