@@ -40,6 +40,11 @@ def main() -> None:
         "q_langid",
         "q_scrub",
         "q_quality_metrics",
+        "q_lm_model_3",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_similarity_topk",
         "q_ngram_count_3",
         "q_word_freq",
         "q_tpch_q1",
