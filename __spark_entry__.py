@@ -101,6 +101,42 @@ def q_score_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11.6: stupid-backoff fallback scorer (fixed log10(0.4) penalty
+    per skipped context order instead of learned backoffs)."""
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    scorer = SparkNGramScorer(spark, _model(), stupid_backoff=True)
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.select(
+        "doc_id",
+        F.round(F.col("log10_prob"), 3).alias("log10_prob"),
+        F.col("oov_count"),
+        F.col("n_tokens"),
+    )
+
+
+def q_corpus_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: corpus-level perplexity rollup incl./excl. OOV — the reference's
+    query binary summary (lm/ngram_query.hh:96-99)."""
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    scorer = SparkNGramScorer(spark, _model())
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.agg(
+        F.round(F.sum("log10_prob"), 2).alias("sum_log10_prob"),
+        F.sum(F.col("n_tokens") + 1).cast("long").alias("n_scored"),
+        F.sum("oov_count").cast("long").alias("n_oov"),
+        F.round(
+            -F.sum("log10_prob") / F.sum(F.col("n_tokens") + 1), 6
+        ).alias("log10_ppl_incl_oov"),
+        F.round(
+            -F.sum("log10_prob") / (F.sum(F.col("n_tokens") + 1) - F.sum("oov_count")),
+            6,
+        ).alias("log10_ppl_excl_oov"),
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9(langid): Catalyst stopword-profile language identification."""
     from kenlm_spark.filtering.langid import lang_expr
@@ -342,6 +378,19 @@ def q_filter_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram"))
 
 
+def q_quantize_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-order equal-frequency quantization (4-bit) of the golden
+    model's probs/backoffs to bin means."""
+    from kenlm_spark.operators.quantize import quantize_model
+    from kenlm_spark.oracle import arpa_ngram_rows
+
+    rows = [(n, g, p, b) for n, g, p, b in arpa_ngram_rows(ARPA_PATH)]
+    model = spark.createDataFrame(
+        rows, "ord int, gram string, log10_prob double, log10_backoff double"
+    )
+    return quantize_model(model, bits=4)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: metadata over a synthesized binary column."""
     from kenlm_spark.operators.multimodal import binary_meta
@@ -384,6 +433,45 @@ def q_orders_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a new session starts after a
+    >30 min gap per user; output per-session stats."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double-epoch keeps sub-second precision identical to the oracle
+    # (TIMESTAMP_NTZ casts to double only via an explicit timestamp hop)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = ev.withColumn("session_seq", F.sum(is_new).over(w))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.min("ts").alias("session_start"),
+    ).select(
+        "user_id", F.col("session_seq").cast("long"), "n_events",
+        "sum_value", "session_start",
+    )
+
+
+def q_events_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: top-3 events by value per user."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id", "event_id", F.round("value", 6).alias("value"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling rollup (batch twin of the streaming operator)."""
     ev = _read(spark, sf_dir, "events")
@@ -399,6 +487,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_score_captions": q_score_captions,
+        "q_score_stupid_backoff": q_score_stupid_backoff,
+        "q_corpus_ppl": q_corpus_ppl,
+        "q_events_sessions": q_events_sessions,
+        "q_events_user_rank": q_events_user_rank,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -420,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_vocab_single": q_filter_vocab_single,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
+        "q_quantize_model": q_quantize_model,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
@@ -450,7 +543,8 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_spark.operators import dedup
     from kenlm_spark.operators import similarity as sim
     from kenlm_spark.operators.ngrams import ngram_counts_sql
-    from kenlm_spark.oracle import scoring_sql, sql_tokens
+    from kenlm_spark.operators.quantize import quantize_model_sql
+    from kenlm_spark.oracle import ngram_values_cte, scoring_sql, sql_tokens
 
     score = scoring_sql(ARPA_PATH, order=_model().order)
     score_raw = scoring_sql(ARPA_PATH, order=_model().order, include_raw=True)
@@ -482,8 +576,55 @@ SELECT d.doc_id,
 FROM documents d JOIN scored s ON s.doc_id = d.doc_id
 """
 
+    stupid = scoring_sql(ARPA_PATH, order=_model().order, stupid_backoff=True)
+    stupid = (
+        "SELECT doc_id, log10_prob, oov_count, n_tokens FROM (" + stupid + ")"
+    )
+    corpus_ppl = f"""
+WITH s AS ({score_raw})
+SELECT round(SUM(log10_prob_raw), 2) AS sum_log10_prob,
+       CAST(SUM(n_tokens + 1) AS BIGINT) AS n_scored,
+       CAST(SUM(oov_count) AS BIGINT) AS n_oov,
+       round(-SUM(log10_prob_raw) / SUM(n_tokens + 1), 6) AS log10_ppl_incl_oov,
+       round(-SUM(log10_prob_raw) / (SUM(n_tokens + 1) - SUM(oov_count)), 6)
+         AS log10_ppl_excl_oov
+FROM s
+"""
+
     return {
         "q_score_captions": score,
+        "q_score_stupid_backoff": stupid,
+        "q_corpus_ppl": corpus_ppl,
+        "q_events_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(SUM(value), 3) AS sum_value,
+       MIN(ts) AS session_start
+FROM s GROUP BY user_id, session_seq
+""",
+        "q_events_user_rank": """
+SELECT user_id, event_id, round(value, 6) AS value,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+""",
         "q_langid": f"SELECT doc_id, {lang_sql('text')} AS lang_pred FROM documents",
         "q_scrub": f"SELECT doc_id, {scrub_sql('text')} AS scrubbed FROM documents",
         "q_quality_metrics": (
@@ -578,6 +719,7 @@ tagonly AS (
 SELECT ord, gram, sent_id FROM qual
 UNION ALL SELECT ord, gram, sent_id FROM tagonly
 """,
+        "q_quantize_model": quantize_model_sql(ngram_values_cte(ARPA_PATH), bits=4),
         "q_multimodal_meta": """
 SELECT doc_id,
        CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,

@@ -83,11 +83,14 @@ def scoring_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     include_raw: bool = False,
+    stupid_backoff: bool = False,
 ) -> str:
     """Full-sentence KenLM scoring in DuckDB SQL.
 
     Output: (id, log10_prob r3, log10_ppl r4, oov_count, n_tokens) per row,
     BOS+EOS semantics identical to Model.score(s, bos=True, eos=True).
+    With ``stupid_backoff``, learned backoff charges are replaced by a fixed
+    log10(0.4) penalty per skipped context order (model.py's fallback mode).
     """
     N = order
     toks = sql_tokens(text_col)
@@ -111,12 +114,22 @@ def scoring_sql(
         f"CASE WHEN g.p - {m} >= 1 THEN coalesce(b{m}.bo, 0) ELSE 0 END AS cb{m}"
         for m in range(1, N)
     )
-    # CASE arms: longest match wins; charge backoffs for orders k..L.
+    # CASE arms: longest match wins; charge backoffs for orders k..L
+    # (KN mode) or log10(0.4) per skipped order (stupid-backoff mode).
+    import numpy as np  # local: keep module import surface small
+
+    log_alpha = repr(float(np.log10(0.4)))
     arms = []
     for n in range(N, 1, -1):
-        charges = " + ".join(f"cb{m}" for m in range(n, N)) or "0"
+        if stupid_backoff:
+            charges = f"(least(p - 1, {N - 1}) - {n - 1}) * {log_alpha}"
+        else:
+            charges = " + ".join(f"cb{m}" for m in range(n, N)) or "0"
         arms.append(f"WHEN p{n} IS NOT NULL THEN p{n} + {charges}")
-    ultimate = " + ".join(["p1"] + [f"cb{m}" for m in range(1, N)])
+    if stupid_backoff:
+        ultimate = f"p1 + least(p - 1, {N - 1}) * {log_alpha}"
+    else:
+        ultimate = " + ".join(["p1"] + [f"cb{m}" for m in range(1, N)])
     case = "CASE " + " ".join(arms) + f" ELSE {ultimate} END"
 
     return f"""

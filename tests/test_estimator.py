@@ -170,3 +170,33 @@ def test_estimated_model_scores_sane(estimated, spark):
     assert math.isfinite(s) and s < 0
     # A frequent in-vocab word should beat OOV junk.
     assert model.score("the") > model.score("qqqqxyz")
+
+
+def test_estimate_order4_mass(spark, sf_dir):
+    """Generalization check: the KN invariant holds at order 4 too."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    model_df, _ = estimate(docs, "text", order=4)
+    rows = model_df.collect()
+    uni = [r for r in rows if r["order"] == 1]
+    total = sum(10.0 ** r["log10_prob"] for r in uni if r["words"] != ["<s>"])
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert {r["order"] for r in rows} == {1, 2, 3, 4}
+
+
+def test_quantize_error_bound(spark):
+    from kenlm_spark.operators.quantize import quantize_model
+    from kenlm_spark.oracle import arpa_ngram_rows
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "test.arpa")
+    rows = [(n, g, p, b) for n, g, p, b in arpa_ngram_rows(path)]
+    model = spark.createDataFrame(
+        rows, "ord int, gram string, log10_prob double, log10_backoff double"
+    )
+    q = {(r["ord"], r["gram"]): r for r in quantize_model(model, bits=6).collect()}
+    orig = {(n, g): (p, b) for n, g, p, b in rows}
+    # 2^6 bins over <=47 values per order: every bin has <=1 value, so
+    # quantization must be lossless here.
+    for key, (p, b) in orig.items():
+        assert q[key]["prob_q"] == pytest.approx(p, abs=1e-6)
+        assert q[key]["backoff_q"] == pytest.approx(b, abs=1e-6)
