@@ -378,13 +378,43 @@ def q_filter_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram"))
 
 
+def q_interpolate_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/U2: static interpolation of two models (0.6*test + 0.4*test_nounk)
+    with backoff renormalization."""
+    from kenlm_spark.operators.interpolate_models import interpolate_models
+    from kenlm_spark.oracle import arpa_ngram_rows
+
+    import numpy as np
+
+    def as_df(path):
+        # float32-widen to match the oracle's inlined ARPA literals
+        rows = [
+            (n, g.split(" "), float(np.float32(p)), float(np.float32(b)))
+            for n, g, p, b in arpa_ngram_rows(path)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "order int, words array<string>, log10_prob double, log10_backoff double",
+        )
+
+    nounk = os.path.join(REPO, "tests", "fixtures", "test_nounk.arpa")
+    return interpolate_models(
+        [as_df(ARPA_PATH), as_df(nounk)], [0.6, 0.4], order=5
+    )
+
+
 def q_quantize_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: per-order equal-frequency quantization (4-bit) of the golden
     model's probs/backoffs to bin means."""
+    import numpy as np
+
     from kenlm_spark.operators.quantize import quantize_model
     from kenlm_spark.oracle import arpa_ngram_rows
 
-    rows = [(n, g, p, b) for n, g, p, b in arpa_ngram_rows(ARPA_PATH)]
+    rows = [
+        (n, g, float(np.float32(p)), float(np.float32(b)))
+        for n, g, p, b in arpa_ngram_rows(ARPA_PATH)
+    ]
     model = spark.createDataFrame(
         rows, "ord int, gram string, log10_prob double, log10_backoff double"
     )
@@ -512,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_vocab_single": q_filter_vocab_single,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
+        "q_interpolate_models": q_interpolate_models,
         "q_quantize_model": q_quantize_model,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q1": q_tpch_q1,
@@ -542,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
     from kenlm_spark import estimator_sql as est_sql
     from kenlm_spark.operators import dedup
     from kenlm_spark.operators import similarity as sim
+    from kenlm_spark.operators.interpolate_models import interpolate_models_sql
     from kenlm_spark.operators.ngrams import ngram_counts_sql
     from kenlm_spark.operators.quantize import quantize_model_sql
     from kenlm_spark.oracle import ngram_values_cte, scoring_sql, sql_tokens
@@ -720,6 +752,13 @@ SELECT ord, gram, sent_id FROM qual
 UNION ALL SELECT ord, gram, sent_id FROM tagonly
 """,
         "q_quantize_model": quantize_model_sql(ngram_values_cte(ARPA_PATH), bits=4),
+        "q_interpolate_models": interpolate_models_sql(
+            ngram_values_cte(ARPA_PATH),
+            ngram_values_cte(os.path.join(REPO, "tests", "fixtures", "test_nounk.arpa")),
+            0.6,
+            0.4,
+            order=5,
+        ),
         "q_multimodal_meta": """
 SELECT doc_id,
        CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,

@@ -106,3 +106,67 @@ def test_ngram_counts_pad_semantics(spark):
     df = spark.createDataFrame([("a b",), ("",)], "text string")
     out = {r["gram"]: r["cnt"] for r in ngram_counts(df, "text", 2, pad=True).collect()}
     assert out == {"<s> a": 1, "a b": 1, "b </s>": 1, "<s> </s>": 1}
+
+
+def test_interpolate_identity_weights(spark):
+    """lambda=(1,0) must reproduce model A's probabilities on A's n-grams."""
+    import os
+
+    from kenlm_spark.operators.interpolate_models import interpolate_models
+    from kenlm_spark.oracle import arpa_ngram_rows
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def as_df(path):
+        rows = [(n, g.split(" "), p, b) for n, g, p, b in arpa_ngram_rows(path)]
+        return spark.createDataFrame(
+            rows,
+            "order int, words array<string>, log10_prob double, log10_backoff double",
+        )
+
+    a = as_df(os.path.join(fx, "test.arpa"))
+    b = as_df(os.path.join(fx, "test_nounk.arpa"))
+    out = interpolate_models([a, b], [1.0, 0.0], order=5)
+    got = {(r["ord"], r["gram"]): r["log10_prob"] for r in out.collect()}
+    for r in a.collect():
+        key = (r["order"], " ".join(r["words"]))
+        assert got[key] == pytest.approx(r["log10_prob"], abs=1e-5), key
+
+
+def test_interpolate_mixture_bounds(spark):
+    """Mixed prob must lie between the two models' evaluated probs."""
+    import os
+
+    from kenlm_spark.operators.interpolate_models import interpolate_models
+    from kenlm_spark.oracle import arpa_ngram_rows
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def as_df(path):
+        rows = [(n, g.split(" "), p, b) for n, g, p, b in arpa_ngram_rows(path)]
+        return spark.createDataFrame(
+            rows,
+            "order int, words array<string>, log10_prob double, log10_backoff double",
+        )
+
+    out = interpolate_models(
+        [as_df(os.path.join(fx, "test.arpa")), as_df(os.path.join(fx, "test_nounk.arpa"))],
+        [0.6, 0.4],
+        order=5,
+    )
+    ma = load_arpa(os.path.join(fx, "test.arpa"))
+    mb = load_arpa(os.path.join(fx, "test_nounk.arpa"))
+    for r in out.limit(0).collect():
+        pass
+    rows = [r for r in out.collect() if r["ord"] == 1][:20]
+    for r in rows:
+        w = r["gram"]
+        pa = 10.0 ** ma.score(w, bos=False, eos=False)
+        pb = 10.0 ** mb.score(w, bos=False, eos=False)
+        mixed = 10.0 ** r["log10_prob"]
+        lo, hi = min(pa, pb), max(pa, pb)
+        # output log10 probs are rounded to 6 decimals -> ~2e-6 relative
+        assert lo * (1 - 3e-6) - 1e-9 <= mixed <= hi * (1 + 3e-6) + 1e-9, (
+            w, pa, pb, mixed,
+        )
