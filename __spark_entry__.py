@@ -431,6 +431,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(df, "doc_id", "blob")
 
 
+def q_lm_model_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: count-threshold pruning — singleton bigrams/trigrams dropped,
+    their mass folded into the context gammas."""
+    from kenlm_spark.estimator import estimate
+
+    model, _ = estimate(
+        _docs(spark, sf_dir), "text", order=3, prune_thresholds={2: 1, 3: 1}
+    )
+    return model.select(
+        F.col("order").alias("ord"),
+        F.concat_ws(" ", "words").alias("gram"),
+        F.round("log10_prob", 6).alias("log10_prob"),
+        F.round("log10_backoff", 6).alias("log10_backoff"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg coverage: TPC-H Q1-style rollup on lineitem."""
     li = _read(spark, sf_dir, "lineitem").filter(
@@ -533,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_lm_model_3": q_lm_model_3,
+        "q_lm_model_pruned": q_lm_model_pruned,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
@@ -686,6 +703,9 @@ FROM (
         "q_lm_adjusted_2": est_sql.adjusted_sql("documents", "text", 3, level=2),
         "q_lm_adjusted_1": est_sql.adjusted_sql("documents", "text", 3, level=1),
         "q_lm_model_3": est_sql.model_sql("documents", "text", 3),
+        "q_lm_model_pruned": est_sql.model_sql(
+            "documents", "text", 3, prune_thresholds={2: 1, 3: 1}
+        ),
         "q_dedup_exact": dedup.exact_duplicates_sql(),
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
         "q_dedup_simhash": dedup.simhash_sql(),

@@ -117,35 +117,43 @@ def count_windows(df: DataFrame, text_col: str, order: int) -> DataFrame:
 
 
 def adjusted_counts(windows: DataFrame, order: int) -> dict[int, DataFrame]:
-    """Stage 2: {n: (words, count)} per order with KN continuation counts."""
+    """Stage 2: {n: (words, count, raw)} per order.
+
+    ``count`` is the KN adjusted (continuation) count; ``raw`` is the true
+    occurrence count — the reference prunes lower orders on the RAW count
+    (``actual_counts``, adjust_counts.cc:258-268) while emitting adjusted.
+    """
     spark = windows.sparkSession
     out: dict[int, DataFrame] = {}
     # Order N model set: drop multi-<s> windows (CollapseStream).
     out[order] = windows.filter(
         (F.size("words") < 2) | (F.element_at("words", 2) != BOS)
-    )
+    ).withColumn("raw", F.col("count"))
 
-    parents = windows
+    parents = windows.withColumn("raw", F.col("count"))
     for n in range(order - 1, 0, -1):
         suffixed = parents.select(
             F.element_at("words", 1).alias("_first"),
             F.slice("words", 2, n).alias("words"),
             F.col("count"),
+            F.col("raw"),
         )
         grams = suffixed.groupBy("words").agg(
             F.count_distinct("_first").alias("_distinct"),
-            F.sum("count").alias("_raw"),
+            F.sum("raw").alias("raw"),
         )
         grams = grams.select(
             "words",
-            F.when(F.element_at("words", 1) == BOS, F.col("_raw"))
+            F.when(F.element_at("words", 1) == BOS, F.col("raw"))
             .otherwise(F.col("_distinct"))
             .cast("long")
             .alias("count"),
+            F.col("raw").cast("long").alias("raw"),
         )
         if n == 1:
             specials = spark.createDataFrame(
-                [([UNK], 0), ([BOS], 0)], schema="words array<string>, count long"
+                [([UNK], 0, 0), ([BOS], 0, 0)],
+                schema="words array<string>, count long, raw long",
             )
             grams = (
                 grams.join(specials.select("words"), "words", "left_anti")
@@ -177,26 +185,58 @@ def count_histograms(
     return hists
 
 
+def pruned_expr(
+    n: int, prune_threshold: int = 0, prune_words: list[str] | None = None
+):
+    """Mark column per the reference (P7/P8): raw count <= threshold, or a
+    pruned word appears; unigram specials are never pruned
+    (adjust_counts.cc:226-233,249-256)."""
+    marked = F.col("raw") <= F.lit(prune_threshold)
+    if prune_words:
+        wl = F.lit(sorted(set(prune_words)))
+        marked = marked | (
+            F.size(F.array_intersect("words", wl)) > 0
+        )
+    if n == 1:
+        special = F.element_at("words", 1).isin(UNK, BOS, EOS)
+        marked = marked & ~special
+    return marked
+
+
 def initial_probabilities(
-    grams: DataFrame, n: int, discount: Discount
+    grams: DataFrame,
+    n: int,
+    discount: Discount,
+    prune_threshold: int = 0,
+    prune_words: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage 4 for one order.
 
-    Returns (grams + p_uninterp + gamma_gram, context_gamma) where
+    Returns (grams + p_uninterp + gamma_gram + pruned, context_gamma) where
     context_gamma = (context words, gamma) — also the backoff source for
-    order n-1.
+    order n-1. Pruned mass folds into gamma so the model still sums to 1
+    (initial_probabilities.cc:165-189).
     """
     d1, d2, d3 = discount.d1, discount.d2, discount.d3plus
     ctx = F.slice("words", 1, n - 1) if n > 1 else F.array().cast("array<string>")
-    with_ctx = grams.withColumn("_ctx", ctx)
+    with_ctx = grams.withColumn("_ctx", ctx).withColumn(
+        "_pruned", pruned_expr(n, prune_threshold, prune_words)
+    )
+    unpruned = ~F.col("_pruned")
     agg = with_ctx.groupBy("_ctx").agg(
         F.sum("count").alias("_denom"),
-        F.sum((F.col("count") == 1).cast("long")).alias("_n1"),
-        F.sum((F.col("count") == 2).cast("long")).alias("_n2"),
-        F.sum((F.col("count") >= 3).cast("long")).alias("_n3"),
+        F.sum((unpruned & (F.col("count") == 1)).cast("long")).alias("_n1"),
+        F.sum((unpruned & (F.col("count") == 2)).cast("long")).alias("_n2"),
+        F.sum((unpruned & (F.col("count") >= 3)).cast("long")).alias("_n3"),
+        F.sum(F.when(F.col("_pruned"), F.col("count")).otherwise(0)).alias("_pm"),
     )
     gamma = (
-        (F.lit(d1) * F.col("_n1") + F.lit(d2) * F.col("_n2") + F.lit(d3) * F.col("_n3"))
+        (
+            F.lit(d1) * F.col("_n1")
+            + F.lit(d2) * F.col("_n2")
+            + F.lit(d3) * F.col("_n3")
+            + F.col("_pm")
+        )
         / F.col("_denom")
     ).alias("gamma")
     ctx_gamma = agg.select(F.col("_ctx").alias("words"), gamma, F.col("_denom"))
@@ -231,6 +271,7 @@ def initial_probabilities(
         "count",
         p_uninterp.alias("p_uninterp"),
         gamma_gram.alias("gamma_gram"),
+        F.col("_pruned").alias("pruned"),
     )
     return result, ctx_gamma.select("words", "gamma")
 
@@ -240,14 +281,23 @@ def estimate(
     text_col: str = "text",
     order: int = 3,
     fallback_discount: Discount | None = FALLBACK_DISCOUNT,
+    prune_thresholds: dict[int, int] | None = None,
+    prune_words: list[str] | None = None,
 ) -> tuple[DataFrame, dict[int, Discount]]:
     """Full lmplz-equivalent pipeline.
 
     Returns (model_df, discounts) where model_df has columns
     (order: int, words: array<string>, log10_prob: double,
     log10_backoff: double) — log10_backoff 0.0 means "not a context".
+
+    ``prune_thresholds[n]`` drops order-n grams with raw count <= threshold
+    (P7); ``prune_words`` drops grams containing those words (P8); pruned
+    mass folds into the context gammas. Interpolation still traverses
+    pruned suffixes internally so surviving probabilities are well-defined
+    (the reference instead leaves holes that its loader re-fills as blanks).
     """
     spark = df.sparkSession
+    thresholds = prune_thresholds or {}
     windows = count_windows(df, text_col, order)
     grams = adjusted_counts(windows, order)
     for n in grams:
@@ -264,7 +314,9 @@ def estimate(
     initial: dict[int, DataFrame] = {}
     ctx_gammas: dict[int, DataFrame] = {}
     for n in range(1, order + 1):
-        initial[n], ctx_gammas[n] = initial_probabilities(grams[n], n, discounts[n])
+        initial[n], ctx_gammas[n] = initial_probabilities(
+            grams[n], n, discounts[n], thresholds.get(n, 0), prune_words
+        )
         ctx_gammas[n] = ctx_gammas[n].persist()
 
     # Interpolation down orders (suffix joins).
@@ -272,6 +324,7 @@ def estimate(
     completed[1] = initial[1].select(
         "words",
         (F.col("p_uninterp") + F.col("gamma_gram") * F.lit(uniform)).alias("p"),
+        "pruned",
     ).persist()
     for n in range(2, order + 1):
         lower = completed[n - 1].select(
@@ -283,12 +336,13 @@ def estimate(
             (F.col("p_uninterp") + F.col("gamma_gram") * F.col("_p_lower")).alias(
                 "p"
             ),
+            "pruned",
         ).persist()
 
     # Backoffs: gram g at order n<N is a context of order n+1 → γ_{n+1}(g).
     parts = []
     for n in range(1, order + 1):
-        cur = completed[n]
+        cur = completed[n].filter(~F.col("pruned"))
         if n < order:
             bo = ctx_gammas[n + 1].select(
                 F.col("words"), F.col("gamma").alias("_bo")

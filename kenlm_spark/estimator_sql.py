@@ -37,33 +37,41 @@ w_all AS (
 
 
 def adjusted_ctes(order: int) -> str:
-    """CTEs s{n} for n=order..1: the adjusted-count gram sets."""
+    """CTEs s{n} for n=order..1: gram sets with adjusted + raw counts."""
     parts = [
         f"s{order} AS (\n"
-        f"  SELECT words, cnt FROM w_all WHERE len(words) < 2 OR words[2] <> '{BOS}'\n"
+        f"  SELECT words, cnt, cnt AS raw FROM w_all "
+        f"WHERE len(words) < 2 OR words[2] <> '{BOS}'\n"
         ")"
     ]
     parent = "w_all"
+    parent_raw = "cnt"
     for n in range(order - 1, 0, -1):
         body = f"""s{n}_raw AS (
   SELECT suffix AS words,
-         CASE WHEN suffix[1] = '{BOS}' THEN SUM(cnt)
-              ELSE COUNT(DISTINCT first) END AS cnt
-  FROM (SELECT words[1] AS first, list_slice(words, 2, {n + 1}) AS suffix, cnt
+         CASE WHEN suffix[1] = '{BOS}' THEN SUM(raw)
+              ELSE COUNT(DISTINCT first) END AS cnt,
+         SUM(raw) AS raw
+  FROM (SELECT words[1] AS first, list_slice(words, 2, {n + 1}) AS suffix,
+               {parent_raw} AS raw
         FROM {parent})
   GROUP BY suffix
 )"""
         parts.append(body)
         if n == 1:
             parts.append(
-                f"s1 AS (SELECT words, CAST(cnt AS BIGINT) AS cnt FROM s1_raw\n"
-                f"  UNION ALL SELECT ['{UNK}'], 0 UNION ALL SELECT ['{BOS}'], 0)"
+                f"s1 AS (SELECT words, CAST(cnt AS BIGINT) AS cnt, "
+                f"CAST(raw AS BIGINT) AS raw FROM s1_raw\n"
+                f"  UNION ALL SELECT ['{UNK}'], 0, 0 "
+                f"UNION ALL SELECT ['{BOS}'], 0, 0)"
             )
         else:
             parts.append(
-                f"s{n} AS (SELECT words, CAST(cnt AS BIGINT) AS cnt FROM s{n}_raw)"
+                f"s{n} AS (SELECT words, CAST(cnt AS BIGINT) AS cnt, "
+                f"CAST(raw AS BIGINT) AS raw FROM s{n}_raw)"
             )
         parent = f"s{n}"
+        parent_raw = "raw"
     return ",\n".join(parts)
 
 
@@ -101,18 +109,29 @@ disc AS (
 )"""
 
 
-def initial_ctes(order: int) -> str:
-    """init{n}(words, cnt, p_uninterp, gamma_gram) and gam{n}(ctx, gamma)."""
+def initial_ctes(order: int, thresholds: dict[int, int] | None = None) -> str:
+    """init{n}(words, cnt, p_uninterp, gamma_gram, pruned) and gam{n}."""
+    thresholds = thresholds or {}
     parts = []
     for n in range(1, order + 1):
+        t = thresholds.get(n, 0)
+        pruned = f"(raw <= {t})"
+        if n == 1:
+            pruned = (
+                f"({pruned} AND NOT (words[1] IN ('{UNK}', '{BOS}', '{EOS}')))"
+            )
+        parts.append(
+            f"m{n} AS (SELECT words, cnt, {pruned} AS pruned FROM s{n})"
+        )
         ctx = f"list_slice(words, 1, {n - 1})" if n > 1 else "[]::VARCHAR[]"
         parts.append(f"""gam{n} AS (
   SELECT ctx,
          SUM(cnt) AS denom,
-         (d.d1 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
-          + d.d2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
-          + d.d3 * SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END)) / SUM(cnt) AS gamma
-  FROM (SELECT {ctx} AS ctx, cnt FROM s{n}) CROSS JOIN
+         (d.d1 * SUM(CASE WHEN NOT pruned AND cnt = 1 THEN 1 ELSE 0 END)
+          + d.d2 * SUM(CASE WHEN NOT pruned AND cnt = 2 THEN 1 ELSE 0 END)
+          + d.d3 * SUM(CASE WHEN NOT pruned AND cnt >= 3 THEN 1 ELSE 0 END)
+          + SUM(CASE WHEN pruned THEN cnt ELSE 0 END)) / SUM(cnt) AS gamma
+  FROM (SELECT {ctx} AS ctx, cnt, pruned FROM m{n}) CROSS JOIN
        (SELECT d1, d2, d3 FROM disc WHERE ord = {n}) d
   GROUP BY ctx, d.d1, d.d2, d.d3
 )""")
@@ -132,10 +151,10 @@ def initial_ctes(order: int) -> str:
         )
         full_p = special_p.replace("%P%", p_expr) if special_p else p_expr
         parts.append(f"""init{n} AS (
-  SELECT s.words, s.cnt,
+  SELECT s.words, s.cnt, s.pruned,
          {full_p} AS p_uninterp,
          {special_g} AS gamma_gram
-  FROM s{n} s
+  FROM m{n} s
   JOIN gam{n} g ON g.ctx = {ctx.replace("words", "s.words")}
   CROSS JOIN (SELECT d1, d2, d3 FROM disc WHERE ord = {n}) d
 )""")
@@ -146,20 +165,24 @@ def interpolate_ctes(order: int) -> str:
     parts = [
         """types AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM s1),
 p1 AS (
-  SELECT i.words, i.p_uninterp + i.gamma_gram * (1.0 / (t.v - 1)) AS p
+  SELECT i.words, i.pruned,
+         i.p_uninterp + i.gamma_gram * (1.0 / (t.v - 1)) AS p
   FROM init1 i CROSS JOIN types t
 )"""
     ]
     for n in range(2, order + 1):
         parts.append(f"""p{n} AS (
-  SELECT i.words, i.p_uninterp + i.gamma_gram * l.p AS p
+  SELECT i.words, i.pruned, i.p_uninterp + i.gamma_gram * l.p AS p
   FROM init{n} i JOIN p{n - 1} l ON l.words = list_slice(i.words, 2, {n})
 )""")
     return ",\n".join(parts)
 
 
 def model_sql(
-    table: str = "documents", text_col: str = "text", order: int = 3
+    table: str = "documents",
+    text_col: str = "text",
+    order: int = 3,
+    prune_thresholds: dict[int, int] | None = None,
 ) -> str:
     """Full estimator oracle: (ord, gram, log10_prob r6, log10_backoff r6)."""
     finals = []
@@ -176,13 +199,13 @@ def model_sql(
        array_to_string(c.words, ' ') AS gram,
        round(least(0.0, log10(c.p)), 6) AS log10_prob,
        round(log10({bo}), 6) AS log10_backoff
-FROM p{n} c {join}""")
+FROM p{n} c {join} WHERE NOT c.pruned""")
     union = "\nUNION ALL\n".join(finals)
     return f"""
 WITH {windows_cte(table, text_col, order)},
 {adjusted_ctes(order)},
 {discount_cte(order)},
-{initial_ctes(order)},
+{initial_ctes(order, prune_thresholds)},
 {interpolate_ctes(order)}
 {union}
 """

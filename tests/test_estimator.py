@@ -200,3 +200,46 @@ def test_quantize_error_bound(spark):
     for key, (p, b) in orig.items():
         assert q[key]["prob_q"] == pytest.approx(p, abs=1e-6)
         assert q[key]["backoff_q"] == pytest.approx(b, abs=1e-6)
+
+
+def test_pruned_model_mass_invariant(spark, sf_dir):
+    """Pruning folds dropped mass into gamma, so sum_w p(w|ctx) over the
+    full vocab must STILL be 1 for surviving contexts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    model_df, _ = estimate(docs, "text", order=3, prune_thresholds={2: 1, 3: 1})
+    rows = model_df.collect()
+    uni_total = sum(
+        10.0 ** r["log10_prob"]
+        for r in rows
+        if r["order"] == 1 and r["words"] != ["<s>"]
+    )
+    assert uni_total == pytest.approx(1.0, abs=1e-6)
+
+    model = to_ngram_model(_as_df(spark, rows), 3)
+    uni_words = [r["words"][0] for r in rows if r["order"] == 1]
+    bi = [r for r in rows if r["order"] == 2 and r["words"][0] != "<s>"]
+    assert bi, "pruning removed every bigram"
+    state = model.null_context_state()
+    for w in bi[0]["words"]:
+        _, state = model.full_score(state, model.word_id(w))
+    total = 0.0
+    for w in uni_words:
+        if w == "<s>":
+            continue
+        ret, _ = model.full_score(state, model.word_id(w))
+        total += 10.0 ** ret.log10_prob
+    assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_prune_words_removed(spark):
+    df = spark.createDataFrame(
+        [("the bad word here",), ("the good word here",), ("bad word again",)],
+        "text string",
+    )
+    model_df, _ = estimate(
+        df, "text", order=2, prune_words=["bad"],
+        fallback_discount=Discount(0.5, 1.0, 1.5),
+    )
+    grams = {" ".join(r["words"]) for r in model_df.collect()}
+    assert not any("bad" in g.split(" ") for g in grams)
+    assert any("good" in g.split(" ") for g in grams)
