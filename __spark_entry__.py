@@ -51,10 +51,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Quality-filter pipeline over sf0.001 documents-as-captions."""
+    """Flagship: estimate a KN model from the corpus itself (lmplz path),
+    broadcast it, and run the full quality-filter pipeline with it."""
+    from kenlm_spark.estimator import estimate, to_ngram_model
     from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
 
     docs = _docs(spark, "/root/testdata/sf0.001")
+    model_df, _ = estimate(docs, "text", order=3)
+    model = to_ngram_model(model_df, 3)
     images = docs.select(
         F.col("doc_id").cast("string").alias("image_id"),
         F.lit(None).cast("binary").alias("bytes"),
@@ -64,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text").alias("caption"),
         F.col("doc_id").alias("phash"),
     )
-    pipe = QualityFilterPipeline(spark, _model(), FilterConfig())
+    pipe = QualityFilterPipeline(spark, model, FilterConfig())
     return pipe.run(images).select(
         "image_id",
         "caption",
