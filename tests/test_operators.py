@@ -170,3 +170,41 @@ def test_interpolate_mixture_bounds(spark):
         assert lo * (1 - 3e-6) - 1e-9 <= mixed <= hi * (1 + 3e-6) + 1e-9, (
             w, pa, pb, mixed,
         )
+
+
+def test_phrase_filter_coverage(spark):
+    from kenlm_spark.operators.phrase_filter import phrase_filter
+
+    ngrams = spark.createDataFrame(
+        [
+            (3, ["a", "b", "c"]),      # covered: [a b] + [c d] prefix
+            (2, ["b", "c"]),           # inside suffix/prefix chain
+            (3, ["c", "a", "b"]),      # c (suffix of [c d]? no, c is prefix)...
+            (2, ["x", "y"]),           # not coverable
+            (1, ["a"],),
+        ],
+        "order int, words array<string>",
+    )
+    phrases = [["a", "b"], ["c", "d"]]
+    kept = {tuple(r["words"]) for r in phrase_filter(ngrams, phrases).collect()}
+    assert ("a", "b", "c") in kept      # [a b] + prefix of [c d]
+    assert ("b", "c") in kept           # suffix of [a b] + prefix of [c d]
+    assert ("a",) in kept               # prefix of [a b]
+    assert ("x", "y") not in kept
+    # "c a b": suffix 'c'? [c d] suffix is 'd' or 'c d' — 'c' is a PREFIX not
+    # suffix, so the left edge fails -> dropped.
+    assert ("c", "a", "b") not in kept
+
+
+def test_phrase_filter_whole_inside(spark):
+    from kenlm_spark.operators.phrase_filter import phrase_filter
+
+    ngrams = spark.createDataFrame(
+        [(2, ["b", "c"]), (2, ["a", "d"])], "order int, words array<string>"
+    )
+    kept = {
+        tuple(r["words"])
+        for r in phrase_filter(ngrams, [["a", "b", "c", "d"]]).collect()
+    }
+    assert ("b", "c") in kept  # strictly inside one phrase
+    assert ("a", "d") not in kept
