@@ -60,6 +60,28 @@ def filtered_captions_stream(
     return pipe.run(stream)
 
 
+def dedup_stream(
+    spark: SparkSession,
+    images_path: str,
+    text_col: str = "caption",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Streaming exact dedup: stateful dropDuplicates on the normalized
+    content hash — the streaming twin of operators.dedup.exact_duplicates.
+
+    State grows with distinct hashes; on a real deployment pair with
+    ``withWatermark`` on an event-time column + ``dropDuplicatesWithinWatermark``
+    to bound it. Files sources here have no event time, so state is unbounded
+    (documented trade-off; the batch dedup is the compaction path).
+    """
+    from kenlm_spark.operators.dedup import h60, norm_text
+
+    schema = spark.read.parquet(images_path).schema
+    stream = spark.readStream.schema(schema).parquet(images_path)
+    hashed = stream.withColumn("text_hash", h60(norm_text(text_col)))
+    return hashed.dropDuplicates(["text_hash"]).select(id_col, "text_hash")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     """Drain a bounded stream into a memory sink; return the rows."""
     q = (

@@ -96,3 +96,21 @@ def test_binary_meta(spark):
     row = binary_meta(df, "id", "b").collect()[0]
     assert row["n_bytes"] == 3
     assert row["first_byte"] == 0xAB
+
+
+def test_stream_dedup_one_per_hash(spark, tmp_path):
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.operators.dedup import exact_duplicates
+    from kenlm_spark.streaming.jobs import dedup_stream, run_available_now
+
+    images = generate_images(spark, n_rows=120, seed=21)
+    path = str(tmp_path / "dedup_imgs")
+    images.write.parquet(path)
+
+    rows = run_available_now(dedup_stream(spark, path), "dedup_stream_test")
+    batch = exact_duplicates(
+        spark.read.parquet(path), id_col="image_id", text_col="caption"
+    ).collect()
+    # one survivor per distinct hash, and hash sets agree with batch dedup
+    assert len(rows) == len({r["text_hash"] for r in rows})
+    assert {r["text_hash"] for r in rows} == {r["text_hash"] for r in batch}
