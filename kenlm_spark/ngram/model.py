@@ -227,10 +227,14 @@ class NGramModel:
         bos: bool = True,
         eos: bool = True,
         stupid_backoff: bool = False,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return_tokens: bool = False,
+    ):
         """Vectorized scoring of many sentences at once.
 
-        Returns ``(log10_prob, oov_count, scored_tokens)`` per sentence.
+        Returns ``(log10_prob, oov_count, scored_tokens)`` per sentence —
+        plus, with ``return_tokens``, per-token detail arrays
+        ``(token_log10_prob, ngram_length, token_oov, sent_idx)`` over the
+        scored positions (the vectorized twin of :meth:`full_scores`).
         Equivalent to summing :meth:`full_score` over each sentence — the
         textbook backoff recursion telescopes to the same totals as the
         reference's state-based charging (verified by golden tests).
@@ -242,6 +246,9 @@ class NGramModel:
         n_sent = len(token_id_lists)
         if n_sent == 0:
             z = np.zeros(0)
+            if return_tokens:
+                zi = z.astype(np.int64)
+                return z, zi, zi, (z, zi, zi.astype(bool), zi)
             return z, z.astype(np.int64), z.astype(np.int64)
 
         lens = np.fromiter((len(t) for t in token_id_lists), np.int64, n_sent)
@@ -328,6 +335,14 @@ class NGramModel:
         sent_oov = np.zeros(n_sent, dtype=np.int64)
         np.add.at(sent_oov, sent_idx, oov)
         n_scored = lens + (1 if eos else 0)
+        if return_tokens:
+            detail = (
+                token_prob[scored],
+                k[scored].astype(np.int64),
+                (flat[scored] == 0),
+                sent_idx[scored],
+            )
+            return sent_scores, sent_oov, n_scored, detail
         return sent_scores, sent_oov, n_scored
 
     def perplexity_batch(

@@ -132,5 +132,52 @@ class SparkNGramScorer:
             F.col("_lm.n_tokens").alias(f"{prefix}n_tokens"),
         ).drop("_lm")
 
+    def with_full_scores(
+        self, df: DataFrame, text_col: str = "caption", out_col: str = "token_scores"
+    ) -> DataFrame:
+        """Per-token (log10_prob, ngram_length, oov) — the vectorized twin
+        of the reference's full_scores API (python/kenlm.pyx:217-242)."""
+        bc = self._bc
+        stupid = self._stupid
+
+        schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("log10_prob", T.DoubleType()),
+                    T.StructField("ngram_length", T.IntegerType()),
+                    T.StructField("oov", T.BooleanType()),
+                ]
+            )
+        )
+
+        @pandas_udf(schema)
+        def full_scores_udf(texts: pd.Series) -> pd.Series:
+            model = bc.value
+            get = model.vocab.get
+            id_lists = [
+                np.asarray(
+                    [get(t, 0) for t in PY_TOKEN_RE.split(s) if t], dtype=np.int64
+                )
+                for s in texts.fillna("")
+            ]
+            _, _, n_scored, (tp, nl, ov, _) = model.score_batch(
+                id_lists, bos=True, eos=True, stupid_backoff=stupid,
+                return_tokens=True,
+            )
+            bounds = np.cumsum(n_scored)[:-1]
+            out = []
+            for probs, lens, oovs in zip(
+                np.split(tp, bounds), np.split(nl, bounds), np.split(ov, bounds)
+            ):
+                out.append(
+                    [
+                        {"log10_prob": float(p), "ngram_length": int(n), "oov": bool(o)}
+                        for p, n, o in zip(probs, lens, oovs)
+                    ]
+                )
+            return pd.Series(out)
+
+        return df.withColumn(out_col, full_scores_udf(F.col(text_col)))
+
     def unpersist(self) -> None:
         self._bc.unpersist()

@@ -207,3 +207,29 @@ class TestVectorizedScorer:
         sb2, _, _ = model.score_batch(ids2, bos=False, eos=False, stupid_backoff=True)
         exp = float(model.uni_prob[model.word_id("baz")]) * 2 + np.log10(0.4)
         assert sb2[0] == pytest.approx(exp, rel=1e-5)
+
+
+class TestVectorizedFullScores:
+    def test_per_token_detail_matches_stateful(self, model):
+        sentences = [
+            "looking on a little more loin .",
+            "also would consider higher looking",
+            "foo bar bar baz",
+            "this is junk not_found stuff",
+            "",
+        ]
+        ids = [model.map_ids(s.split()) for s in sentences]
+        _, _, n_scored, (tp, nl, ov, sidx) = model.score_batch(
+            ids, bos=True, eos=True, return_tokens=True
+        )
+        pos = 0
+        for i, s in enumerate(sentences):
+            expected = list(model.full_scores(s))
+            assert n_scored[i] == len(expected)
+            for (ep, el, eo) in expected:
+                assert tp[pos] == pytest.approx(ep, rel=1e-5, abs=1e-5), (s, pos)
+                assert nl[pos] == el, (s, pos)
+                assert bool(ov[pos]) == eo, (s, pos)
+                assert sidx[pos] == i
+                pos += 1
+        assert pos == len(tp)

@@ -135,3 +135,21 @@ def test_perplexity_formula(result_rows, oracle_rows):
     for iid, got in result_rows.items():
         want = oracle_rows[iid]["perplexity"]
         assert got["lm_perplexity"] == pytest.approx(want, rel=1e-4), iid
+
+
+def test_spark_full_scores_column(spark, arpa_model):
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    df = spark.createDataFrame(
+        [("looking on a little more loin .",), ("foo bar bar",)], "caption string"
+    )
+    scorer = SparkNGramScorer(spark, arpa_model)
+    rows = scorer.with_full_scores(df, "caption").collect()
+    for r in rows:
+        expected = list(arpa_model.full_scores(r["caption"]))
+        got = r["token_scores"]
+        assert len(got) == len(expected)
+        total = sum(t["log10_prob"] for t in got)
+        assert total == pytest.approx(arpa_model.score(r["caption"]), rel=1e-5)
+        for t, (ep, el, eo) in zip(got, expected):
+            assert t["ngram_length"] == el and t["oov"] == eo
