@@ -135,15 +135,22 @@ def minhash_lsh_pairs(
     """
     sigs = minhash_signatures(df, id_col, text_col, k_hashes, shingle_k)
     n_bands = k_hashes // band_size
-    bands = None
+    # One explode instead of a union of per-band selects: the signature
+    # aggregation is computed once, not once per band branch.
+    band_structs = []
     for b in range(n_bands):
         cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-        part = sigs.select(
-            "id",
-            F.lit(b).alias("band"),
-            h60(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                h60(
+                    F.concat_ws("_", *[c.cast("string") for c in cols])
+                ).alias("bucket"),
+            )
         )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     big = (
         bands.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))

@@ -1,0 +1,77 @@
+"""Physical-plan audit: writes BENCH/PLANS.md with evidence that the
+engine produces the plans a 100 TB deployment needs — predicate pushdown,
+column pruning, broadcast joins, partial aggregation, and a single Arrow
+exchange for the scorer.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def summarize(plan: str) -> dict:
+    return {
+        "pushed_filters": re.findall(r"PushedFilters: \[[^\]]*\]", plan)[:2],
+        "read_schema": re.findall(r"ReadSchema: [^\n,]*", plan)[:2],
+        "broadcast_hash_join": plan.count("BroadcastHashJoin"),
+        "sort_merge_join": plan.count("SortMergeJoin"),
+        "hash_aggregate": plan.count("HashAggregate"),
+        "exchange": plan.count("Exchange"),
+        "arrow_eval_python": plan.count("ArrowEvalPython"),
+        "whole_stage_codegen": bool(re.search(r"\*\(\d+\)", plan)),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from kenlm_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+
+    targets = {
+        "pushdown (filter+project on lineitem)": (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .select("l_returnflag", "l_quantity")
+        ),
+        "q_keep_drop (full filter pipeline)": em.q_keep_drop(spark, sf),
+        "q_orders_customer_revenue (joins)": em.q_orders_customer_revenue(spark, sf),
+        "q_ngram_count_3 (explode+agg)": em.q_ngram_count_3(spark, sf),
+        "q_dedup_minhash (LSH join)": em.q_dedup_minhash(spark, sf),
+        "q_similarity_topk (broadcast + window)": em.q_similarity_topk(spark, sf),
+    }
+
+    lines = [
+        "# Physical-plan audit (`scripts/audit_plans.py`)",
+        "",
+        "Evidence that Catalyst produces the intended plans. Checks: filters",
+        "and projections reach the parquet scan; small sides broadcast;",
+        "aggregations are partial+final; the scorer crosses into Python",
+        "exactly once (one ArrowEvalPython); whole-stage codegen is active.",
+        "",
+    ]
+    for name, df in targets.items():
+        # Execute the DataFrame's own QueryExecution so AQE finalizes it
+        # (codegen annotations appear only in the final adaptive plan).
+        df.collect()
+        s = summarize(df._jdf.queryExecution().executedPlan().toString())
+        lines.append(f"## {name}")
+        lines.append("")
+        for k, v in s.items():
+            lines.append(f"- {k}: {v}")
+        lines.append("")
+    spark.stop()
+
+    with open("BENCH/PLANS.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print("\n".join(lines[:30]))
+
+
+if __name__ == "__main__":
+    main()
