@@ -243,3 +243,19 @@ def test_prune_words_removed(spark):
     grams = {" ".join(r["words"]) for r in model_df.collect()}
     assert not any("bad" in g.split(" ") for g in grams)
     assert any("good" in g.split(" ") for g in grams)
+
+
+def test_model_table_parquet_roundtrip(estimated, spark, tmp_path):
+    """S6: the estimated model persists as a parquet table partitioned by
+    order (the Iceberg-style intermediate) and reloads score-identically."""
+    rows, _ = estimated
+    df = _as_df(spark, rows)
+    path = str(tmp_path / "model_table")
+    df.write.partitionBy("order").mode("overwrite").parquet(path)
+    re = spark.read.parquet(path).select(
+        "order", "words", "log10_prob", "log10_backoff"
+    )
+    m1 = to_ngram_model(df, 3)
+    m2 = to_ngram_model(re, 3)
+    for s in ["the data table", "row value part", "unseen zzz tokens"]:
+        assert m2.score(s) == pytest.approx(m1.score(s), abs=1e-6)

@@ -7,6 +7,7 @@ big-int evaluation.
 """
 
 import numpy as np
+from pathlib import Path
 
 from kenlm_spark.ngram.hashing import (
     combine_word_hash,
@@ -83,3 +84,46 @@ def test_ngram_key_folds_from_last_word():
     h = combine_word_hash(h, 5)
     assert ngram_key(ids) == h
     assert ngram_key([7]) == 7
+
+
+def test_arpa_loader_rejects_malformed():
+    import pytest
+
+    from kenlm_spark.ngram.arpa import ArpaFormatError, loads_arpa
+
+    with pytest.raises(ArpaFormatError):
+        loads_arpa("not an arpa file")
+    with pytest.raises(ArpaFormatError):
+        loads_arpa("\\data\\\nngram 1=1\n\n\\1-grams:\n-1.0\tfoo\n")  # no \end\
+    with pytest.raises(ArpaFormatError):
+        # bigram with a word missing from the unigram section
+        loads_arpa(
+            "\\data\\\nngram 1=1\nngram 2=1\n\n\\1-grams:\n-1.0\tfoo\n\n"
+            "\\2-grams:\n-1.0\tfoo missing\n\n\\end\\\n"
+        )
+
+
+def test_arpa_loader_clamps_positive_prob():
+    import warnings
+
+    from kenlm_spark.ngram.arpa import loads_arpa
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = loads_arpa(
+            "\\data\\\nngram 1=2\n\n\\1-grams:\n0.5\tfoo\n-1.0\tbar\n\n\\end\\\n"
+        )
+        assert any("clamped" in str(x.message) for x in w)
+    assert float(m.uni_prob[m.word_id("foo")]) == 0.0
+
+
+def test_arpa_gz_roundtrip(tmp_path):
+    import gzip
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    src = (Path(__file__).parent / "fixtures" / "test.arpa").read_bytes()
+    gz = tmp_path / "m.arpa.gz"
+    gz.write_bytes(gzip.compress(src))
+    m = load_arpa(str(gz))
+    assert m.order == 5 and "looking" in m
