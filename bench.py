@@ -55,7 +55,14 @@ def main() -> None:
         k for k in qs if k not in headline
     ]
 
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    from pyspark.sql import functions as F
+
+    n_tokens = docs.select(
+        F.sum(F.regexp_count(F.coalesce("text", F.lit("")),
+                             F.lit("[^\\x00\\t\\n\\r ]+"))).alias("t")
+    ).first()["t"]
 
     # Warmup: JVM codegen, Arrow path, Python workers, broadcast ship.
     _time(qs["q_langid"](spark, sf_dir))
@@ -79,6 +86,12 @@ def main() -> None:
         "cpus": cpus,
         "captions_per_sec": round(n_docs / max(pipeline_sec, 1e-9), 1),
         "n_captions": n_docs,
+        # reference metric twin (kenlm_benchmark reports queries/sec
+        # excluding load): scorer-only token throughput
+        "scorer_tokens_per_sec": round(
+            n_tokens / max(timings.get("q_score_captions", 1e9), 1e-9), 1
+        ),
+        "n_tokens": int(n_tokens),
     }
     spark.stop()
     print(json.dumps(out))

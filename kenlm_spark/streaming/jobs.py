@@ -82,12 +82,57 @@ def dedup_stream(
     return hashed.dropDuplicates(["text_hash"]).select(id_col, "text_hash")
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+def running_user_stats_stream(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event counters and value sums across micro-batches.
+
+    Demonstrates arbitrary-state streaming (the tool for operators that
+    windowed aggs can't express); state is one small tuple per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> list:
     """Drain a bounded stream into a memory sink; return the rows."""
+    if output_mode is None:
+        output_mode = (
+            "complete"
+            if stream_df.isStreaming and _has_agg(stream_df)
+            else "append"
+        )
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -114,3 +114,26 @@ def test_stream_dedup_one_per_hash(spark, tmp_path):
     # one survivor per distinct hash, and hash sets agree with batch dedup
     assert len(rows) == len({r["text_hash"] for r in rows})
     assert {r["text_hash"] for r in rows} == {r["text_hash"] for r in batch}
+
+
+def test_stateful_user_stats(spark, sf_dir, tmp_path):
+    from kenlm_spark.streaming.jobs import running_user_stats_stream, run_available_now
+
+    path = str(tmp_path / "events_state")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(path)
+    rows = run_available_now(
+        running_user_stats_stream(spark, path), "userstats", output_mode="update"
+    )
+    # final state per user equals the batch aggregation
+    batch = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    )
+    # update-mode may emit several rows per user; the last one is the total
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert final == want
