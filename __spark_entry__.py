@@ -425,6 +425,19 @@ def q_quantize_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_model(model, bits=4)
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: reference whitespace tokens and a BPE-ish
+    subword regex (letter runs / digits / punctuation as separate pieces)."""
+    c = F.coalesce(F.col("text"), F.lit(""))
+    ws = F.regexp_count(c, F.lit("[^\\x00\\t\\n\\r ]+"))
+    bpe = F.regexp_count(c, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\x00\\t\\n\\r ]"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: metadata over a synthesized binary column."""
     from kenlm_spark.operators.multimodal import binary_meta
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
         "q_interpolate_models": q_interpolate_models,
         "q_quantize_model": q_quantize_model,
+        "q_token_stats": q_token_stats,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
@@ -783,6 +797,14 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
             0.4,
             order=5,
         ),
+        "q_token_stats": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[^\x00\t\n\r ]+')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\x00\t\n\r ]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""",
         "q_multimodal_meta": """
 SELECT doc_id,
        CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
