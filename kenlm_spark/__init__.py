@@ -9,8 +9,23 @@ UDFs where imperative token loops are unavoidable, broadcast models
 instead of mmap.
 """
 
+from kenlm_spark.estimator import estimate, to_ngram_model, write_arpa
 from kenlm_spark.ngram.arpa import load_arpa, loads_arpa
 from kenlm_spark.ngram.model import NGramModel
+from kenlm_spark.ngram.scorer import SparkNGramScorer
+from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+from kenlm_spark.session import get_spark
 
-__all__ = ["NGramModel", "load_arpa", "loads_arpa"]
+__all__ = [
+    "FilterConfig",
+    "NGramModel",
+    "QualityFilterPipeline",
+    "SparkNGramScorer",
+    "estimate",
+    "get_spark",
+    "load_arpa",
+    "loads_arpa",
+    "to_ngram_model",
+    "write_arpa",
+]
 __version__ = "0.1.0"

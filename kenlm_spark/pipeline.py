@@ -57,6 +57,10 @@ class FilterConfig:
     max_oov_ratio: float = 0.5
     quality: dict = field(default_factory=dict)
     stupid_backoff: bool = False
+    #: Optional replacement language-ID: a callable (text Column) -> Column
+    #: of language codes — e.g. a fastText pandas UDF when the library and
+    #: weights are available. None uses the built-in Catalyst classifier.
+    langid_expr: object = None
     #: 0 disables the salted repartition. The filter is map-only, so by
     #: default no shuffle is inserted at all — per-split byte sizing
     #: (spark.sql.files.maxPartitionBytes) plus the scorer's in-UDF token
@@ -102,7 +106,8 @@ class QualityFilterPipeline:
             if cfg.salt_buckets > 0
             else images
         )
-        df = df.withColumn("lang_pred", lang_expr(text_col))
+        lang_fn = cfg.langid_expr or lang_expr
+        df = df.withColumn("lang_pred", lang_fn(F.col(text_col)))
         df = self.scorer.with_scores(df, text_col, prefix="lm_")
         metrics = quality_metric_exprs(text_col, cfg.quality)
         for name, col in metrics.items():

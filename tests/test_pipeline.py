@@ -153,3 +153,13 @@ def test_spark_full_scores_column(spark, arpa_model):
         assert total == pytest.approx(arpa_model.score(r["caption"]), rel=1e-5)
         for t, (ep, el, eo) in zip(got, expected):
             assert t["ngram_length"] == el and t["oov"] == eo
+
+
+def test_custom_langid_hook(spark, arpa_model):
+    from pyspark.sql import functions as F
+
+    images = generate_images(spark, n_rows=60, seed=2)
+    cfg = FilterConfig(langid_expr=lambda c: F.lit("en"))
+    pipe = QualityFilterPipeline(spark, arpa_model, cfg)
+    rows = pipe.run(images).select("lang_pred").distinct().collect()
+    assert {r[0] for r in rows} == {"en"}
