@@ -464,6 +464,16 @@ def q_lm_model_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF coarse-quantizer probing (deterministic
+    Lloyd k-means, n_probe cells, exact re-rank). No SQL oracle
+    (approximate); recall tested against the exact top-k."""
+    from kenlm_spark.operators.ivf import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(8)), k=10, n_cells=8, n_probe=3)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General agg coverage: TPC-H Q1-style rollup on lineitem."""
     li = _read(spark, sf_dir, "lineitem").filter(
@@ -573,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_lsh": q_similarity_lsh,
+        "q_similarity_ivf": q_similarity_ivf,
         "q_filter_vocab_single": q_filter_vocab_single,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,

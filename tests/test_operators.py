@@ -208,3 +208,27 @@ def test_phrase_filter_whole_inside(spark):
     }
     assert ("b", "c") in kept  # strictly inside one phrase
     assert ("a", "d") not in kept
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    from kenlm_spark.operators.ivf import ivf_topk
+    from kenlm_spark.operators.similarity import brute_force_topk
+
+    qids = list(range(6))
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = ivf_topk(emb, qids, k=10, n_cells=8, n_probe=3).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        aps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_deterministic(spark, emb):
+    from kenlm_spark.operators.ivf import train_centroids
+
+    c1 = train_centroids(emb, k=4, iters=3)
+    c2 = train_centroids(emb, k=4, iters=3)
+    assert np.array_equal(c1, c2)
