@@ -464,6 +464,48 @@ def q_lm_model_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (near, embedding-cosine): pairs above a cosine threshold —
+    exact baseline (LSH-candidate variant available via use_lsh for scale).
+    The synthetic embeddings max out near 0.51 cosine, so 0.4 exercises the
+    operator with a non-empty result."""
+    from kenlm_spark.operators.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.4)
+
+
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: predicted vs provided language histogram."""
+    from kenlm_spark.filtering.langid import lang_expr
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("lang"), lang_expr("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_parts_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join breadth: lineitem ⋈ part ⋈ supplier revenue by brand/nation."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: IVF coarse-quantizer probing (deterministic
     Lloyd k-means, n_probe cells, exact re-rank). No SQL oracle
@@ -584,6 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_lsh": q_similarity_lsh,
         "q_similarity_ivf": q_similarity_ivf,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_lang_agreement": q_lang_agreement,
+        "q_parts_supplier_revenue": q_parts_supplier_revenue,
         "q_filter_vocab_single": q_filter_vocab_single,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
@@ -808,6 +853,21 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
             0.4,
             order=5,
         ),
+        "q_dedup_embedding": sim.embedding_near_dups_sql(threshold=0.4),
+        "q_lang_agreement": (
+            f"SELECT lang, {lang_sql('text')} AS lang_pred, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"
+        ),
+        "q_parts_supplier_revenue": """
+SELECT p.p_brand, n.n_name,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY p.p_brand, n.n_name
+""",
         "q_token_stats": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(coalesce(text, ''), '[^\x00\t\n\r ]+')) AS BIGINT)

@@ -165,6 +165,117 @@ def brute_force_topk_pandas(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t).
+
+    Exact mode is the oracle-checkable baseline (self-join, a<b). With
+    ``use_lsh`` candidates come from the multi-table sign-LSH buckets first
+    — the linear-time path for corpus-scale near-dup sweeps.
+    """
+    base = emb.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if use_lsh:
+        # bucket via lsh_bucket_topk's plane machinery, then exact verify
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+        import itertools
+
+        def bucket_cols(df, prefix):
+            cols = []
+            for t_i in range(n_tables):
+                acc = None
+                for p in range(n_planes):
+                    coeffs = _hyperplane(dim, t_i * 1000 + p)
+                    dot = None
+                    for i, c in enumerate(coeffs):
+                        term = F.element_at(df[vec_col], i + 1).cast(
+                            "double"
+                        ) * F.lit(float(c))
+                        dot = term if dot is None else dot + term
+                    bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+                    acc = bit if acc is None else acc + bit
+                cols.append(acc.alias(f"{prefix}{t_i}"))
+            return cols
+
+        withb = emb.select(
+            F.col(id_col).alias("nid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            *bucket_cols(emb, "b"),
+        )
+        bands = None
+        for t_i in range(n_tables):
+            part = withb.select(
+                "nid", "v", F.lit(t_i).alias("t"), F.col(f"b{t_i}").alias("bk")
+            )
+            bands = part if bands is None else bands.unionByName(part)
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.nid") < F.col("b.nid")),
+            )
+            .select(
+                F.col("a.nid").alias("id_a"),
+                F.col("b.nid").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        del itertools
+    else:
+        a = base.select(
+            F.col("nid").alias("id_a"), F.col("v").alias("va")
+        )
+        b = base.select(
+            F.col("nid").alias("id_b"), F.col("v").alias("vb")
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("score")
+    ).filter(F.col("score") >= threshold)
+
+
+def embedding_near_dups_sql(
+    threshold: float = 0.95,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+pairs AS (
+  SELECT a.nid AS id_a, b.nid AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.v)),
+                                   i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+           6) AS score
+  FROM base a JOIN base b ON a.nid < b.nid
+)
+SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}
+"""
+
+
 # ------------------------------------------------------------------- LSH
 
 
