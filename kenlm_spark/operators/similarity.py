@@ -38,6 +38,24 @@ def _norm(a):
     )
 
 
+def _dot_unrolled(a, b, dim: int):
+    """Left-to-right 64-term sum — codegen-friendly (no interpreted lambda)
+    and bitwise-identical to the oracle's sequential list_sum."""
+    acc = None
+    for i in range(1, dim + 1):
+        t = F.element_at(a, i) * F.element_at(b, i)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _norm_unrolled(a, dim: int):
+    acc = None
+    for i in range(1, dim + 1):
+        t = F.element_at(a, i) * F.element_at(a, i)
+        acc = t if acc is None else acc + t
+    return F.sqrt(acc)
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -243,8 +261,9 @@ def embedding_near_dups(
             F.col("nid").alias("id_b"), F.col("v").alias("vb")
         )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (
+        _norm_unrolled(F.col("va"), dim) * _norm_unrolled(F.col("vb"), dim)
     )
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("score")
