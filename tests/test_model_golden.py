@@ -233,3 +233,39 @@ class TestVectorizedFullScores:
                 assert sidx[pos] == i
                 pos += 1
         assert pos == len(tp)
+
+
+class TestEdgeOrders:
+    def test_unigram_only_model(self):
+        from kenlm_spark.ngram.arpa import loads_arpa
+
+        m = loads_arpa(
+            "\\data\\\nngram 1=4\n\n\\1-grams:\n"
+            "-1.0\t<unk>\n-99\t<s>\n-0.5\t</s>\n-0.3\tfoo\n\n\\end\\\n"
+        )
+        assert m.order == 1
+        # score = p(foo) + p(</s>) with no context effects
+        assert m.score("foo") == pytest.approx(-0.3 + -0.5, abs=1e-5)
+        ids = [m.map_ids(["foo", "bar"])]
+        s, oov, n = m.score_batch(ids)
+        assert s[0] == pytest.approx(-0.3 + -1.0 + -0.5, abs=1e-5)
+        assert oov[0] == 1 and n[0] == 3
+
+    def test_bigram_model(self):
+        from kenlm_spark.ngram.arpa import loads_arpa
+
+        m = loads_arpa(
+            "\\data\\\nngram 1=4\nngram 2=2\n\n\\1-grams:\n"
+            "-1.0\t<unk>\n-99\t<s>\t-0.5\n-0.5\t</s>\n-0.3\tfoo\t-0.2\n\n"
+            "\\2-grams:\n-0.1\t<s> foo\n-0.15\tfoo </s>\n\n\\end\\\n"
+        )
+        assert m.order == 2
+        # <s> foo matched (-0.1), foo </s> matched (-0.15)
+        assert m.score("foo") == pytest.approx(-0.1 + -0.15, abs=1e-5)
+        # OOV after foo: p(<unk>) + bo(foo)
+        assert m.score("foo zzz", eos=False) == pytest.approx(
+            -0.1 + (-1.0 + -0.2), abs=1e-5
+        )
+        ids = [m.map_ids(["foo"])]
+        s, _, _ = m.score_batch(ids)
+        assert s[0] == pytest.approx(m.score("foo"), abs=1e-5)
