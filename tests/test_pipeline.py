@@ -163,3 +163,20 @@ def test_custom_langid_hook(spark, arpa_model):
     pipe = QualityFilterPipeline(spark, arpa_model, cfg)
     rows = pipe.run(images).select("lang_pred").distinct().collect()
     assert {r[0] for r in rows} == {"en"}
+
+
+def test_null_caption_robust(spark, arpa_model):
+    from pyspark.sql import functions as F
+
+    images = generate_images(spark, n_rows=10, seed=1).withColumn(
+        "caption",
+        F.when(F.col("image_id") == "img00000001", F.lit(None)).otherwise(
+            F.col("caption")
+        ),
+    )
+    pipe = QualityFilterPipeline(spark, arpa_model)
+    rows = {r["image_id"]: r for r in pipe.run(images).collect()}
+    r = rows["img00000001"]
+    assert r["keep"] is False and r["drop_reason"] == "quality"
+    assert r["scrubbed_caption"] == ""
+    assert r["lm_n_tokens"] == 0
