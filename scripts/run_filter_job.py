@@ -38,7 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     from kenlm_spark.ngram.arpa import load_arpa
     from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
 
-    spark = SparkSession.builder.appName("caption-quality-filter").getOrCreate()
+    existing = SparkSession.getActiveSession()
+    spark = existing or SparkSession.builder.appName(
+        "caption-quality-filter"
+    ).getOrCreate()
     model = load_arpa(args.arpa)
     cfg = FilterConfig(
         allowed_langs=tuple(args.allowed_langs.split(",")),
@@ -51,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     result = pipe.run_resumable(images, args.output)
     for row in pipe.metrics(result).collect():
         print(json.dumps(row.asDict()))
-    spark.stop()
+    if existing is None:  # don't stop a session we didn't create
+        spark.stop()
     return 0
 
 

@@ -180,3 +180,25 @@ def test_null_caption_robust(spark, arpa_model):
     assert r["keep"] is False and r["drop_reason"] == "quality"
     assert r["scrubbed_caption"] == ""
     assert r["lm_n_tokens"] == 0
+
+
+def test_run_filter_job_cli(spark, tmp_path):
+    """The spark-submit entrypoint works end to end via main()."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from run_filter_job import main
+
+    images = generate_images(spark, n_rows=50, seed=8)
+    inp = str(tmp_path / "in")
+    images.write.parquet(inp)
+    rc = main(
+        [
+            "--input", inp,
+            "--output", str(tmp_path / "out"),
+            "--arpa", "/root/repo/tests/fixtures/test.arpa",
+        ]
+    )
+    assert rc == 0
+    out = QualityFilterPipeline.latest_snapshot(spark, str(tmp_path / "out"))
+    assert out.count() == 50
