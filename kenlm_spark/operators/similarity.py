@@ -254,13 +254,28 @@ def embedding_near_dups(
         )
         del itertools
     else:
-        a = base.select(
-            F.col("nid").alias("id_a"), F.col("v").alias("va")
-        )
-        b = base.select(
-            F.col("nid").alias("id_b"), F.col("v").alias("vb")
-        )
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+        # Pre-normalize once per row (the oracle mirrors this shape), so
+        # the quadratic stage is a bare dot product.
+        normed = base.select(
+            "nid",
+            F.transform(
+                "v", lambda x: x / _norm_unrolled(F.col("v"), dim)
+            ).alias("vn"),
+        ).localCheckpoint(eager=True)
+        # (checkpoint: otherwise CollapseProject inlines the normalization
+        # into the pair stage and recomputes it per pair — measured 40s)
+        spark = emb.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        a = normed.select(
+            F.col("nid").alias("id_a"), F.col("vn").alias("va")
+        ).repartition(n_part)
+        b = normed.select(F.col("nid").alias("id_b"), F.col("vn").alias("vb"))
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+        cos = _dot_unrolled(F.col("va"), F.col("vb"), dim)
+        return pairs.select(
+            "id_a", "id_b", F.round(cos, 6).alias("score")
+        ).filter(F.col("score") >= threshold)
     dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
     cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (
         _norm_unrolled(F.col("va"), dim) * _norm_unrolled(F.col("vb"), dim)
@@ -281,15 +296,19 @@ WITH base AS (
   SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
   FROM {table}
 ),
+normed AS (
+  SELECT nid,
+         list_transform(v, x -> x / sqrt(list_sum(
+           list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))) AS vn
+  FROM base
+),
 pairs AS (
   SELECT a.nid AS id_a, b.nid AS id_b,
          round(
-           list_sum(list_transform(generate_series(1, len(a.v)),
-                                   i -> a.v[i] * b.v[i]))
-           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-              * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+           list_sum(list_transform(generate_series(1, len(a.vn)),
+                                   i -> a.vn[i] * b.vn[i])),
            6) AS score
-  FROM base a JOIN base b ON a.nid < b.nid
+  FROM normed a JOIN normed b ON a.nid < b.nid
 )
 SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}
 """
