@@ -192,6 +192,46 @@ class NGramModel:
         out_state = State(out_words[:out_len], out_backoffs[:out_len])
         return FullScoreReturn(prob, ngram_length, oov, indep), out_state
 
+    def full_score_forgot_state(
+        self, context_ids_rev: list[int], word_id: int
+    ) -> FullScoreReturn:
+        """lm/model.cc:142-168 — score with a forgotten state: the longest
+        match plus backoff charges LOOKED UP from the model (rather than
+        carried in a State). Context is most-recent-first; capped at
+        order-1 words.
+        """
+        ctx = list(context_ids_rev)[: self.order - 1]
+        oov = word_id == 0
+        prob = float(self.uni_prob[word_id])
+        length = 1
+        node = word_id
+        for i, c in enumerate(ctx):
+            n = i + 2
+            node = combine_word_hash(node, c)
+            hit = self._find(n, node)
+            if hit is None:
+                break
+            prob = hit[0]
+            length = n
+            if n == self.order:
+                break
+        # Charge backoffs of the most-recent m context words, m in
+        # [length, len(ctx)]; chain stops at the first missing context
+        # (longer ones are absent by suffix closure).
+        h = 0
+        for m in range(1, len(ctx) + 1):
+            h = ctx[0] if m == 1 else combine_word_hash(h, ctx[m - 1])
+            if m < length:
+                continue
+            if m == 1:
+                prob += float(self.uni_backoff[ctx[0]])
+            else:
+                hit = self._find(m, h)
+                if hit is None:
+                    break
+                prob += hit[1]
+        return FullScoreReturn(prob, length, oov, length >= self.order)
+
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         """python/kenlm.pyx:153-207 — log10 P of the whole sentence."""
         state = self.begin_sentence_state() if bos else self.null_context_state()

@@ -269,3 +269,40 @@ class TestEdgeOrders:
         ids = [m.map_ids(["foo"])]
         s, _, _ = m.score_batch(ids)
         assert s[0] == pytest.approx(m.score("foo"), abs=1e-5)
+
+
+class TestStateless:
+    """Transcribed from model_test.cc:236-279 (Stateless) — scoring with a
+    forgotten state (context words only, backoffs looked up)."""
+
+    def fs(self, model, context_words, word):
+        ctx = [model.word_id(w) for w in reversed(context_words)]
+        return model.full_score_forgot_state(ctx, model.word_id(word))
+
+    def test_stateless_goldens(self, model):
+        seq = ["<s>", "looking", "on", "a", "little", "the", "biarritz",
+               "not_found", "more", "."]
+
+        def check(word_idx, ctx_len, exp_len, exp_prob):
+            word = seq[word_idx]
+            ctx = seq[max(0, word_idx - ctx_len):word_idx]
+            ret = self.fs(model, ctx, word)
+            assert ret.log10_prob == pytest.approx(exp_prob, rel=1e-4, abs=1e-4), (
+                word, ctx)
+            assert ret.ngram_length == exp_len, (word, ctx)
+
+        check(1, 1, 2, -0.484652)          # looking | <s>
+        check(2, 2, 3, -0.348837)          # on | <s> looking
+        check(2, 1, 2, -0.4638903)         # on | looking
+        check(3, 3, 4, -0.0155266)         # a | <s> looking on
+        check(4, 4, 5, -0.00306122)        # little | ...
+        check(5, 5, 1, -4.04005)           # the | 5-word context
+        check(5, 0, 1, -1.687872)          # the | no context
+        check(6, 1, 1, -1.9889)            # biarritz | the
+        check(7, 1, 1, -2.29666)           # not_found | biarritz
+        check(7, 0, 1, -1.995635)          # not_found | no context
+
+    def test_nounk_forgot_state(self, model_nounk):
+        # model_test.cc:281-287 NoUnkCheck
+        ret = model_nounk.full_score_forgot_state([0], 0)
+        assert ret.log10_prob == pytest.approx(-100.0, abs=1e-4)
