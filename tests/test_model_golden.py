@@ -306,3 +306,22 @@ class TestStateless:
         # model_test.cc:281-287 NoUnkCheck
         ret = model_nounk.full_score_forgot_state([0], 0)
         assert ret.log10_prob == pytest.approx(-100.0, abs=1e-4)
+
+
+class TestVocabSurface:
+    # model_test.cc:299-345 — vocab enumeration yields 37 ids; API surface
+    # parity with python/kenlm.pyx:149-151, :277-279.
+    def test_vocab_size_and_order(self, model):
+        assert model.vocab_size == 37
+        assert model.order == 5
+
+    def test_membership_is_nonzero_index(self, model):
+        assert "looking" in model
+        assert "<s>" in model and "</s>" in model
+        assert "not_a_word" not in model
+        # <unk> maps to id 0, so membership is False by Index(word) != 0
+        assert "<unk>" not in model
+
+    def test_word_ids_dense_and_unique(self, model):
+        ids = sorted(model.vocab.values())
+        assert ids == list(range(model.vocab_size))
