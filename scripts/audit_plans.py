@@ -12,8 +12,19 @@ import sys
 sys.path.insert(0, ".")
 
 
+def final_plan_only(plan: str) -> str:
+    """AdaptiveSparkPlan.toString() prints BOTH '== Final Plan ==' and
+    '== Initial Plan ==' sections — counting the raw string double-counts
+    every operator (this produced the round-1 'two ArrowEvalPython'
+    false alarm). Audit only the final (executed) plan."""
+    marker = "== Initial Plan =="
+    return plan.split(marker, 1)[0]
+
+
 def summarize(plan: str) -> dict:
+    plan = final_plan_only(plan)
     return {
+        "scan_parquet": plan.count("Scan parquet"),  # matches FileScan too
         "pushed_filters": re.findall(r"PushedFilters: \[[^\]]*\]", plan)[:2],
         "read_schema": re.findall(r"ReadSchema: [^\n,]*", plan)[:2],
         "broadcast_hash_join": plan.count("BroadcastHashJoin"),
@@ -55,7 +66,13 @@ def main() -> None:
         "aggregations are partial+final; the scorer crosses into Python",
         "exactly once (one ArrowEvalPython); whole-stage codegen is active.",
         "",
+        "Counts cover ONLY the executed '== Final Plan ==' section of the",
+        "AdaptiveSparkPlan string (the Initial Plan repeats every operator,",
+        "which double-counted in round 1). q_keep_drop is hard-gated to",
+        "exactly 1 parquet scan and 1 ArrowEvalPython.",
+        "",
     ]
+    failures = []
     for name, df in targets.items():
         # Execute the DataFrame's own QueryExecution so AQE finalizes it
         # (codegen annotations appear only in the final adaptive plan).
@@ -66,7 +83,24 @@ def main() -> None:
         for k, v in s.items():
             lines.append(f"- {k}: {v}")
         lines.append("")
+        # Hard gates: the scorer pipeline must cross into Python exactly
+        # once and scan its input exactly once (no duplicated subtree).
+        if name.startswith("q_keep_drop"):
+            if s["arrow_eval_python"] != 1:
+                failures.append(
+                    f"{name}: expected exactly 1 ArrowEvalPython, "
+                    f"got {s['arrow_eval_python']}"
+                )
+            if s["scan_parquet"] != 1:
+                failures.append(
+                    f"{name}: expected exactly 1 parquet scan, "
+                    f"got {s['scan_parquet']}"
+                )
     spark.stop()
+    if failures:
+        for f in failures:
+            print("PLAN AUDIT FAILURE:", f, file=sys.stderr)
+        raise SystemExit(1)
 
     with open("BENCH/PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
