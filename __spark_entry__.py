@@ -326,11 +326,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: sign-LSH bucketed candidates, exact re-rank.
-
-    No SQL oracle (approximate operator); the test suite checks recall
-    against the exact top-k.
-    """
+    """ANN scale path: sign-LSH bucketed candidates (numpy mapInPandas),
+    exact re-rank. Deterministic md5 hyperplanes → full DuckDB oracle;
+    the test suite additionally checks recall against the exact top-k."""
     from kenlm_spark.operators.similarity import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -465,14 +463,18 @@ def q_lm_model_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (near, embedding-cosine): pairs above a cosine threshold —
-    exact baseline (LSH-candidate variant available via use_lsh for scale).
-    The synthetic embeddings max out near 0.51 cosine, so 0.4 exercises the
-    operator with a non-empty result."""
+    """Dedup (near, embedding-cosine), LSH scale path: sign-LSH bucket
+    candidates (numpy mapInPandas, linear) + exact cosine verify. The md5
+    hyperplanes are deterministic, so the bucketed path itself is
+    oracle-checked. The synthetic embeddings max out near 0.51 cosine —
+    far below real near-dup territory — so this entry runs at threshold
+    0.4 with 8 planes (production near-dup default is 16 planes at
+    threshold ≥0.9, where recall ≈1; fewer planes = more recall at loose
+    thresholds, bigger buckets)."""
     from kenlm_spark.operators.similarity import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.4)
+    return embedding_near_dups(emb, threshold=0.4, use_lsh=True, n_planes=8)
 
 
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,7 +855,10 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
             0.4,
             order=5,
         ),
-        "q_dedup_embedding": sim.embedding_near_dups_sql(threshold=0.4),
+        "q_dedup_embedding": sim.embedding_near_dups_sql(
+            threshold=0.4, use_lsh=True, n_planes=8
+        ),
+        "q_similarity_lsh": sim.lsh_bucket_topk_sql(list(range(8)), k=10),
         "q_lang_agreement": (
             f"SELECT lang, {lang_sql('text')} AS lang_pred, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"

@@ -78,7 +78,12 @@ def brute_force_topk(
     joined = base.crossJoin(F.broadcast(queries)).filter(
         F.col("nid") != F.col("query_id")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    # unrolled sequential sum: float-identical to the HOF fold (both
+    # left-to-right) but stays inside whole-stage codegen
+    cos = _dot_unrolled(F.col("qv"), F.col("v"), dim) / (
+        _norm_unrolled(F.col("qv"), dim) * _norm_unrolled(F.col("v"), dim)
+    )
     scored = joined.select(
         "query_id",
         F.col("nid").alias("neighbor_id"),
@@ -183,88 +188,75 @@ def brute_force_topk_pandas(
     )
 
 
+def _normalized(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, checkpoint: bool
+) -> DataFrame:
+    """(nid, vn): unit-normalized double vectors.
+
+    ``checkpoint`` is load-bearing for the exact/crossJoin path: without it
+    CollapseProject inlines the normalization into the pair stage and
+    recomputes it per PAIR (measured 40s at sf0.1). The LSH path joins on
+    ids instead, where the projection materializes once per row at the
+    join boundary, so no checkpoint (and no extra job) is needed."""
+    base = emb.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    out = base.select(
+        "nid",
+        F.transform("v", lambda x: x / _norm_unrolled(F.col("v"), dim)).alias(
+            "vn"
+        ),
+    )
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
+def _seq_sq_norm(x: np.ndarray) -> np.ndarray:
+    """Row norms with dim-SEQUENTIAL accumulation: bitwise-identical to
+    DuckDB's list_sum (left-to-right fold), unlike numpy's pairwise sum."""
+    acc = np.zeros(len(x))
+    for i in range(x.shape[1]):
+        acc = acc + x[:, i] * x[:, i]
+    return np.sqrt(acc)
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot with dim-sequential accumulation (DuckDB list_sum
+    order), vectorized across rows."""
+    acc = np.zeros(len(a))
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
-    n_planes: int = 4,
+    use_lsh: bool = True,
+    n_planes: int = 16,
     n_tables: int = 8,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t).
 
-    Exact mode is the oracle-checkable baseline (self-join, a<b). With
-    ``use_lsh`` candidates come from the multi-table sign-LSH buckets first
-    — the linear-time path for corpus-scale near-dup sweeps.
+    ``use_lsh`` (the default, and the scale path) generates candidates from
+    multi-table sign-LSH buckets — then verifies exactly; buckets larger
+    than ``max_bucket`` are dropped (boilerplate / zero-vector guard, same
+    contract as the MinHash ``max_bucket``). Recall: P(pair surfaces) =
+    1-(1-(1-θ/π)^planes)^tables for angle θ — with the 16-plane default,
+    ≈0.8 at cosine 0.95 and →1 as cosine→1, while random pairs collide at
+    ~2^-16 per table, which is what keeps buckets small (and candidate
+    generation near-linear) as the corpus grows; ``n_planes`` trades recall
+    at looser thresholds against bucket size. Exact mode (``use_lsh=False``)
+    is the O(n²) tiny-N baseline. Deterministic md5 hyperplanes make the
+    LSH path itself oracle-checkable
+    (``embedding_near_dups_sql(use_lsh=True)``).
     """
-    base = emb.select(
-        F.col(id_col).alias("nid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    if use_lsh:
-        # bucket via lsh_bucket_topk's plane machinery, then exact verify
-        first = emb.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
-        import itertools
-
-        def bucket_cols(df, prefix):
-            cols = []
-            for t_i in range(n_tables):
-                acc = None
-                for p in range(n_planes):
-                    coeffs = _hyperplane(dim, t_i * 1000 + p)
-                    dot = None
-                    for i, c in enumerate(coeffs):
-                        term = F.element_at(df[vec_col], i + 1).cast(
-                            "double"
-                        ) * F.lit(float(c))
-                        dot = term if dot is None else dot + term
-                    bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-                    acc = bit if acc is None else acc + bit
-                cols.append(acc.alias(f"{prefix}{t_i}"))
-            return cols
-
-        withb = emb.select(
-            F.col(id_col).alias("nid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            *bucket_cols(emb, "b"),
-        )
-        bands = None
-        for t_i in range(n_tables):
-            part = withb.select(
-                "nid", "v", F.lit(t_i).alias("t"), F.col(f"b{t_i}").alias("bk")
-            )
-            bands = part if bands is None else bands.unionByName(part)
-        a, b = bands.alias("a"), bands.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.t") == F.col("b.t"))
-                & (F.col("a.bk") == F.col("b.bk"))
-                & (F.col("a.nid") < F.col("b.nid")),
-            )
-            .select(
-                F.col("a.nid").alias("id_a"),
-                F.col("b.nid").alias("id_b"),
-                F.col("a.v").alias("va"),
-                F.col("b.v").alias("vb"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        del itertools
-    else:
+    if not use_lsh:
         dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
-        # Pre-normalize once per row (the oracle mirrors this shape), so
-        # the quadratic stage is a bare dot product.
-        normed = base.select(
-            "nid",
-            F.transform(
-                "v", lambda x: x / _norm_unrolled(F.col("v"), dim)
-            ).alias("vn"),
-        ).localCheckpoint(eager=True)
-        # (checkpoint: otherwise CollapseProject inlines the normalization
-        # into the pair stage and recomputes it per pair — measured 40s)
+        normed = _normalized(emb, id_col, vec_col, dim, checkpoint=True)
         spark = emb.sparkSession
         n_part = spark.sparkContext.defaultParallelism
         a = normed.select(
@@ -276,23 +268,91 @@ def embedding_near_dups(
         return pairs.select(
             "id_a", "id_b", F.round(cos, 6).alias("score")
         ).filter(F.col("score") >= threshold)
-    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
-    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (
-        _norm_unrolled(F.col("va"), dim) * _norm_unrolled(F.col("vb"), dim)
+
+    import pandas as pd
+
+    def wide_pass(batches):
+        p_mat = None
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if p_mat is None:
+                p_mat = lsh_plane_matrix(x.shape[1], n_planes, n_tables)
+            signs = (x @ p_mat.T) >= 0
+            bks = (
+                (signs.reshape(len(x), n_tables, n_planes) * weights)
+                .sum(axis=2)
+                .astype("int32")
+            )
+            vn = x / _seq_sq_norm(x)[:, None]
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "vn": [list(map(float, r)) for r in vn],
+                    "buckets": [list(map(int, r)) for r in bks],
+                }
+            )
+
+    # ONE corpus pass computes normalized vectors + all table buckets;
+    # checkpointed so the downstream fan-out (bucket-size agg, anti-join,
+    # self-join, verify joins) re-reads the tiny materialized table instead
+    # of re-running Python (at production scale this is the written index).
+    wide = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(wide_pass, "nid long, vn array<double>, buckets array<int>")
+        .localCheckpoint(eager=True)
     )
-    return pairs.select(
-        "id_a", "id_b", F.round(cos, 6).alias("score")
-    ).filter(F.col("score") >= threshold)
+    bands = wide.select("nid", F.posexplode("buckets").alias("t", "bucket"))
+    big = (
+        bands.groupBy("t", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+    bands = bands.join(big.select("t", "bucket"), ["t", "bucket"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    # id-only band shuffle: vectors never ride through the n_tables-way
+    # explode; they rejoin once per side below.
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+        .distinct()
+    )
+    joined = pairs.join(
+        wide.select(F.col("nid").alias("id_a"), F.col("vn").alias("va")), "id_a"
+    ).join(
+        wide.select(F.col("nid").alias("id_b"), F.col("vn").alias("vb")), "id_b"
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.asarray([np.asarray(v) for v in pdf["va"]])
+            vb = np.asarray([np.asarray(v) for v in pdf["vb"]])
+            score = np.round(_seq_dot(va, vb), 6)
+            keep = score >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "score": score[keep],
+                }
+            )
+
+    return joined.mapInPandas(verify, "id_a long, id_b long, score double")
 
 
-def embedding_near_dups_sql(
-    threshold: float = 0.95,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    return f"""
-WITH base AS (
+def _normed_ctes(table: str, id_col: str, vec_col: str) -> str:
+    return f"""base AS (
   SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
   FROM {table}
 ),
@@ -301,7 +361,22 @@ normed AS (
          list_transform(v, x -> x / sqrt(list_sum(
            list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))) AS vn
   FROM base
-),
+)"""
+
+
+def embedding_near_dups_sql(
+    threshold: float = 0.95,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    max_bucket: int = 2000,
+) -> str:
+    if not use_lsh:
+        return f"""
+WITH {_normed_ctes(table, id_col, vec_col)},
 pairs AS (
   SELECT a.nid AS id_a, b.nid AS id_b,
          round(
@@ -309,6 +384,31 @@ pairs AS (
                                    i -> a.vn[i] * b.vn[i])),
            6) AS score
   FROM normed a JOIN normed b ON a.nid < b.nid
+)
+SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}
+"""
+    return f"""
+WITH {_normed_ctes(table, id_col, vec_col)},
+{_buckets_sql_ctes(n_planes, n_tables)},
+small AS (
+  SELECT t, bucket FROM buckets GROUP BY t, bucket
+  HAVING count(*) <= {max_bucket}
+),
+kept AS (SELECT b.* FROM buckets b JOIN small s USING (t, bucket)),
+cand AS (
+  SELECT DISTINCT a.nid AS id_a, b.nid AS id_b
+  FROM kept a JOIN kept b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.nid < b.nid
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(na.vn)),
+                                   i -> na.vn[i] * nb.vn[i])),
+           6) AS score
+  FROM cand c
+  JOIN normed na ON na.nid = c.id_a
+  JOIN normed nb ON nb.nid = c.id_b
 )
 SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}
 """
@@ -328,6 +428,93 @@ def _hyperplane(dim: int, plane: int) -> np.ndarray:
     return np.asarray(vals)
 
 
+def lsh_plane_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """(n_tables*n_planes, dim) hyperplane matrix; row t*n_planes+p is
+    plane p of table t (id = t*1000+p, matching the SQL twin)."""
+    return np.stack(
+        [
+            _hyperplane(dim, t * 1000 + p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(nid, t, bucket): sign-LSH bucket of every vector in every table.
+
+    Bucket bits come from one numpy matmul per Arrow batch (X @ planes.T)
+    inside ``mapInPandas`` — the Catalyst-expression variant unrolled
+    dim x planes x tables ≈ 2k codegen terms per row and was
+    planning-bound (same lesson as IVF's ``assign_cells``). Map-only: no
+    shuffle; the t-explode happens JVM-side via posexplode.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    planes = lsh_plane_matrix(dim, n_planes, n_tables)
+    bc = spark.sparkContext.broadcast(planes)
+
+    def run(batches):
+        p_mat = bc.value
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            signs = (x @ p_mat.T) >= 0  # (batch, n_tables*n_planes)
+            b = (
+                (signs.reshape(len(x), n_tables, n_planes) * weights)
+                .sum(axis=2)
+                .astype("int32")
+            )
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "buckets": [list(map(int, row)) for row in b],
+                }
+            )
+
+    wide = emb.select(id_col, vec_col).mapInPandas(
+        run, "nid long, buckets array<int>"
+    )
+    return wide.select("nid", F.posexplode("buckets").alias("t", "bucket"))
+
+
+def _buckets_sql_ctes(n_planes: int, n_tables: int) -> str:
+    """DuckDB twin of ``lsh_buckets`` over the ``base`` CTE: the md5
+    hyperplane coefficients are regenerated in SQL, so the oracle shares
+    no Python state with the Spark side."""
+    return f"""planes AS (
+  SELECT t.t, p.p,
+         list(CAST(('0x' || substring(
+                md5(CAST(t.t * 1000 + p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                1, 15)) AS BIGINT) / 1152921504606846976.0 - 0.5
+              ORDER BY d.d) AS coef
+  FROM range(0, {n_tables}) t(t), range(0, {n_planes}) p(p),
+       (SELECT unnest(generate_series(0, len(v) - 1)) AS d
+        FROM (SELECT v FROM base LIMIT 1)) d(d)
+  GROUP BY t.t, p.p
+),
+buckets AS (
+  SELECT b.nid, pl.t,
+         SUM(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(b.v)), i -> b.v[i] * pl.coef[i])) >= 0
+                  THEN 1 << pl.p ELSE 0 END) AS bucket
+  FROM base b CROSS JOIN planes pl
+  GROUP BY b.nid, pl.t
+)"""
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -342,46 +529,79 @@ def lsh_bucket_topk(
     ``n_tables`` independent hash tables of ``n_planes`` hyperplanes each
     (the classical recall lever: P(candidate) = 1-(1-p^b)^L); candidates
     are the union over tables, re-ranked exactly. Deterministic:
-    hyperplanes derive from md5, no RNG state.
+    hyperplanes derive from md5, no RNG state, so the whole path has a
+    DuckDB oracle (``lsh_bucket_topk_sql``).
+
+    Scale shape: query buckets/vectors are computed driver-side from the
+    (tiny, by contract) query set and broadcast; ONE corpus pass computes
+    each row's buckets, matches them against the query tables, and scores
+    the matches exactly (dim-sequential numpy, DuckDB-bit-identical), so
+    only (query, candidate, score) rows — not vectors — reach the final
+    global top-k window. One scan, one Python crossing, one shuffle.
     """
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
+    import pandas as pd
 
-    def bucket_expr(table: int):
-        acc = None
-        for p in range(n_planes):
-            coeffs = _hyperplane(dim, table * 1000 + p)
-            dot = None
-            for i, c in enumerate(coeffs):
-                term = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(
-                    float(c)
-                )
-                dot = term if dot is None else dot + term
-            bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        return acc
+    spark = emb.sparkSession
 
-    base = emb.select(
-        F.col(id_col).alias("nid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        *[bucket_expr(t).alias(f"b{t}") for t in range(n_tables)],
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
     )
-    queries = base.filter(F.col("nid").isin(query_ids)).select(
-        F.col("nid").alias("query_id"),
-        F.col("v").alias("qv"),
-        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(n_tables)],
-    )
-    match_any = None
-    for t in range(n_tables):
-        cond = F.col(f"b{t}") == F.col(f"qb{t}")
-        match_any = cond if match_any is None else (match_any | cond)
-    cand = base.join(
-        F.broadcast(queries),
-        match_any & (F.col("nid") != F.col("query_id")),
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    scored = cand.select(
-        "query_id", F.col("nid").alias("neighbor_id"), F.round(cos, 6).alias("score")
+    dim = len(qrows[0][vec_col])
+    planes = lsh_plane_matrix(dim, n_planes, n_tables)
+    weights = 1 << np.arange(n_planes)
+    qids = np.asarray([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qm = np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+    )  # (nq, dim)
+    qsigns = (qm @ planes.T) >= 0
+    qbuckets = (
+        (qsigns.reshape(len(qm), n_tables, n_planes) * weights)
+        .sum(axis=2)
+        .astype("int64")
+    )  # (nq, n_tables)
+    qnorms = _seq_sq_norm(qm)
+    bc = spark.sparkContext.broadcast((planes, qids, qm, qbuckets, qnorms))
+
+    def score_pass(batches):
+        p_mat, q_ids, q_m, q_b, q_n = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            signs = (x @ p_mat.T) >= 0
+            bks = (
+                (signs.reshape(len(x), n_tables, n_planes) * weights)
+                .sum(axis=2)
+                .astype("int64")
+            )
+            norms = _seq_sq_norm(x)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = (bks == q_b[j]).any(axis=1) & (ids != qid)
+                if not mask.any():
+                    continue
+                xm = x[mask]
+                dots = _seq_dot(np.broadcast_to(q_m[j], xm.shape), xm)
+                out_q.append(np.full(mask.sum(), qid, dtype=np.int64))
+                out_n.append(ids[mask])
+                out_s.append(np.round(dots / (q_n[j] * norms[mask]), 6))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score_pass, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -389,3 +609,47 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("long"))
     )
+
+
+def lsh_bucket_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+{_buckets_sql_ctes(n_planes, n_tables)},
+qb AS (SELECT nid AS query_id, t, bucket FROM buckets WHERE nid IN ({ids})),
+cand AS (
+  SELECT DISTINCT q.query_id, b.nid
+  FROM buckets b JOIN qb q ON b.t = q.t AND b.bucket = q.bucket
+  WHERE b.nid <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.nid AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(qv.v)),
+                                   i -> qv.v[i] * bv.v[i]))
+           / (sqrt(list_sum(list_transform(qv.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(bv.v, x -> x * x)))),
+           6) AS score
+  FROM cand c
+  JOIN base qv ON qv.nid = c.query_id
+  JOIN base bv ON bv.nid = c.nid
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -79,6 +79,48 @@ def test_lsh_recall_vs_exact(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5  # 8 tables x 4 planes
 
 
+def test_embedding_lsh_dedup_finds_planted(spark):
+    """Near-identical vectors (cosine → 1) land in the same bucket in
+    essentially every table (P(miss) ≈ (θ/π · planes)^tables), so the LSH
+    path must surface them; unrelated vectors must not appear."""
+    from kenlm_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base + 1e-4 * rng.randn(64)]),  # planted dup
+        (3, [float(x) for x in rng.randn(64)]),
+        (4, [float(x) for x in rng.randn(64)]),
+        (5, [float(x) for x in -base]),  # anti-correlated, never a dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_dups(df, threshold=0.95, use_lsh=True).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_embedding_lsh_dedup_subset_of_exact(spark, emb):
+    """LSH candidates verified exactly → every reported pair must also be
+    in the exact O(n²) result with an identical score (no false positives),
+    and planted-quality recall at this θ must be high."""
+    from kenlm_spark.operators.similarity import embedding_near_dups
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_dups(emb, threshold=0.4, use_lsh=True).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_dups(emb, threshold=0.4, use_lsh=False).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == s for p, s in lsh.items())
+
+
 def test_pandas_topk_matches_catalyst(spark, emb):
     from kenlm_spark.operators.similarity import (
         brute_force_topk,
