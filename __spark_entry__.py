@@ -311,7 +311,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (near, SimHash): Hamming<=3 candidate pairs via byte bands."""
+    """Dedup (near, SimHash): Hamming<=3 pairs, exact recall via 4
+    15-bit bands (pigeonhole) over the 60-bit fingerprint."""
     from kenlm_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir))

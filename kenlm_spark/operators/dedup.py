@@ -7,8 +7,9 @@ Four families, each a first-class `queries()` entry with a DuckDB oracle:
                    exact-Jaccard verify. The scale path for near-dup at
                    10^12 docs: candidate generation is a groupBy on band
                    keys (linear), never an all-pairs join.
-* SimHash        — bit-majority fingerprint over token hashes; near-dup =
-                   small Hamming distance, candidates via byte bands.
+* SimHash        — 60-bit bit-majority fingerprint over token hashes;
+                   near-dup = small Hamming distance, candidates via
+                   max_hamming+1 bit-bands (pigeonhole: recall is exact).
 * n-gram Jaccard — the verify step, also usable standalone on candidates.
 
 Cross-engine hash: h(s) = int(md5(s)[0:15], 16) — 60 bits, identical in
@@ -238,29 +239,60 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {jaccard_threshold}
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
-    """(id, simhash): bit-majority fingerprint over token 60-bit hashes."""
-    toks = F.array_remove(F.split(norm_text(text_col), " "), "")
-    t = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    t = t.select("id", h60(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = t.groupBy("id").agg(F.count("*").alias("n"), *bit_sums)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-        sig = term if sig is None else sig + term
-    return agg.select("id", sig.cast("long").alias("simhash"))
+    """(id, simhash): bit-majority fingerprint over token 60-bit hashes.
+
+    Map-only: the fingerprint depends only on the document's own tokens,
+    so it is computed per Arrow batch in numpy — no explode, no shuffle,
+    no 60-aggregate codegen (the round-1 explode+groupBy shape shuffled
+    every token for what is a per-row function). Exact-integer math, so
+    the DuckDB twin (which still uses the relational form) matches
+    bit-for-bit. Docs with zero tokens are absent from the output (same
+    as unnesting an empty token list).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    tok_re = PY_TOKEN_RE
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def batch(pdfs):
+        memo: dict[str, int] = {}
+
+        def h(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                memo[tok] = v
+            return v
+
+        for pdf in pdfs:
+            ids_out, sigs_out = [], []
+            texts = pdf[text_col].fillna("").str.lower()
+            for did, text in zip(pdf[id_col], texts):
+                toks = [t for t in tok_re.split(text) if t]
+                if not toks:
+                    continue
+                hs = np.asarray([h(t) for t in toks], dtype=np.uint64)
+                ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+                sig = int(
+                    ((ones * 2 > len(toks)).astype(np.uint64) << shifts).sum()
+                )
+                ids_out.append(did)
+                sigs_out.append(sig)
+            yield pd.DataFrame({"id": ids_out, "simhash": sigs_out})
+
+    return df.select(id_col, text_col).mapInPandas(batch, "id long, simhash long")
 
 
 def simhash_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
 ) -> str:
     toks = f"list_filter(regexp_split_to_array({_norm_sql(text_col)}, ' '), t -> t <> '')"
     bit_sums = ", ".join(
@@ -279,15 +311,52 @@ SELECT id, CAST({sig} AS BIGINT) AS simhash FROM agg
 """
 
 
+def _band_slices(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """(band_index, shift, width) covering all ``bits`` with exactly
+    ``max_hamming + 1`` bands — the pigeonhole guarantee: a pair with
+    Hamming distance <= max_hamming differs in at most max_hamming bands,
+    so it MUST agree on at least one (guaranteed recall, unlike the
+    round-1 2-band scheme which silently missed distance-2/3 pairs whose
+    differing bits straddled both bands). The first bands absorb any
+    remainder bit."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    rem = bits % n_bands
+    out, shift = [], 0
+    for i in range(n_bands):
+        w = width + (1 if i < rem else 0)
+        out.append((i, shift, w))
+        shift += w
+    return out
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 16, max_hamming: int = 3,
+    bits: int = 60, max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, candidates via byte bands."""
+    """Near-dup pairs by simhash Hamming distance.
+
+    Candidates come from ``max_hamming + 1`` bit-bands (15 bits each at
+    the 60-bit default — 32k buckets per band, which keeps band buckets
+    small as the corpus grows), verified with an exact popcount. Recall
+    is exact by pigeonhole; see ``_band_slices``.
+    """
     sig = simhash(df, id_col, text_col, bits)
-    lo = sig.select("id", "simhash", F.col("simhash").bitwiseAND(F.lit(0xFF)).alias("band_key"), F.lit(0).alias("band"))
-    hi = sig.select("id", "simhash", F.shiftright("simhash", 8).bitwiseAND(F.lit(0xFF)).alias("band_key"), F.lit(1).alias("band"))
-    bands = lo.unionByName(hi)
+    band_keys = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", shift)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("band_key"),
+        )
+        for i, shift, w in _band_slices(bits, max_hamming)
+    ]
+    bands = sig.select(
+        "id", "simhash", F.explode(F.array(*band_keys)).alias("_b")
+    ).select(
+        "id", "simhash",
+        F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -311,16 +380,17 @@ def simhash_near_pairs(
 
 def simhash_near_pairs_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 16, max_hamming: int = 3,
+    bits: int = 60, max_hamming: int = 3,
 ) -> str:
     inner = simhash_sql(table, id_col, text_col, bits).strip()
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS band, "
+        f"(simhash >> {shift}) & {(1 << w) - 1} AS band_key FROM sig"
+        for i, shift, w in _band_slices(bits, max_hamming)
+    )
     return f"""
 WITH sig AS ({inner}),
-bands AS (
-  SELECT id, simhash, simhash & 255 AS band_key, 0 AS band FROM sig
-  UNION ALL
-  SELECT id, simhash, (simhash >> 8) & 255 AS band_key, 1 AS band FROM sig
-)
+bands AS ({band_selects})
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM bands a JOIN bands b

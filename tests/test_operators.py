@@ -79,6 +79,68 @@ def test_lsh_recall_vs_exact(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5  # 8 tables x 4 planes
 
 
+def test_simhash_near_pairs_exact_recall(spark, docs):
+    """Banded candidate generation must find EVERY pair with Hamming <=
+    max_hamming (pigeonhole over max_hamming+1 bands) — compared against
+    a brute-force all-pairs popcount over the same fingerprints. The
+    round-1 two-byte-band scheme fails this for distance-2/3 pairs whose
+    differing bits straddle both bands."""
+    from itertools import combinations
+
+    from kenlm_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_pairs(docs).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_near_pairs_straddling_bits(spark):
+    """Planted Hamming-2 pair whose differing bits live in different
+    15-bit bands: a correct scheme must still surface it (any distance-2
+    pair differs in at most 2 of the 4 bands, so >=2 bands agree)."""
+    from kenlm_spark.operators.dedup import simhash, simhash_near_pairs
+
+    # Find two word swaps that flip bits in different bands by searching
+    # deterministic candidate texts against the real fingerprint fn.
+    base_words = [f"w{i}" for i in range(40)]
+    rows = [(0, " ".join(base_words))]
+    cand_id = 1
+    for i in range(40):
+        words = list(base_words)
+        words[i] = f"alt{i}"
+        rows.append((cand_id, " ".join(words)))
+        cand_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    base_sig = sigs[0]
+    # pick planted ids whose fingerprints are Hamming 1-3 from the base
+    # with differing bits spread across distinct 15-bit bands
+    near = {
+        i: bin(sigs[i] ^ base_sig).count("1")
+        for i in sigs
+        if i != 0 and 1 <= bin(sigs[i] ^ base_sig).count("1") <= 3
+    }
+    straddlers = [
+        i
+        for i in near
+        if len({b // 15 for b in range(60) if (sigs[i] ^ base_sig) >> b & 1})
+        > 1
+    ]
+    assert straddlers, "synthetic corpus produced no straddling near-pair"
+    found = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_pairs(df).collect()
+    }
+    for i in straddlers:
+        assert (0, i) in found
+
+
 def test_embedding_lsh_dedup_finds_planted(spark):
     """Near-identical vectors (cosine → 1) land in the same bucket in
     essentially every table (P(miss) ≈ (θ/π · planes)^tables), so the LSH
