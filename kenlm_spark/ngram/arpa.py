@@ -41,8 +41,20 @@ class ArpaFormatError(ValueError):
 
 
 def _open(path: str):
-    if path.endswith(".gz"):
+    """Transparent decompression by magic bytes, like the reference's
+    util/read_compressed.cc (gzip/bzip2/xz) — extension-agnostic."""
+    with open(path, "rb") as probe:
+        magic = probe.read(6)
+    if magic[:2] == b"\x1f\x8b":
         return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    if magic[:3] == b"BZh":
+        import bz2
+
+        return io.TextIOWrapper(bz2.open(path, "rb"), encoding="utf-8")
+    if magic == b"\xfd7zXZ\x00":
+        import lzma
+
+        return io.TextIOWrapper(lzma.open(path, "rb"), encoding="utf-8")
     return open(path, encoding="utf-8")
 
 

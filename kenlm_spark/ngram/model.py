@@ -159,7 +159,6 @@ class NGramModel:
         out_len = 1 if _has_extension(backoff0) else 0
 
         node = word_id
-        matched = 1
         for i, ctx_word in enumerate(state.words):
             if indep:
                 break
@@ -178,7 +177,6 @@ class NGramModel:
                 break
             prob, bo, ext = hit
             ngram_length = n
-            matched = n
             out_backoffs.append(bo)
             if _has_extension(bo):
                 out_len = n
@@ -204,17 +202,32 @@ class NGramModel:
         oov = word_id == 0
         prob = float(self.uni_prob[word_id])
         length = 1
+        # independent_left mirrors full_score/ScoreExceptBackoff: set when
+        # the walk up orders dead-ends (failed lookup — by suffix closure
+        # no longer context can match), when the matched entry has no left
+        # extension, or at full order. It is False only if the ENTIRE
+        # given context matched with the last hit still extendable.
+        indep = not bool(self.uni_extends[word_id])
         node = word_id
         for i, c in enumerate(ctx):
+            if indep:
+                break
             n = i + 2
             node = combine_word_hash(node, c)
+            if n == self.order:
+                hit = self._find(n, node)
+                if hit is not None:
+                    prob = hit[0]
+                    length = n
+                indep = True
+                break
             hit = self._find(n, node)
             if hit is None:
+                indep = True
                 break
             prob = hit[0]
             length = n
-            if n == self.order:
-                break
+            indep = not bool(hit[2])
         # Charge backoffs of the most-recent m context words, m in
         # [length, len(ctx)]; chain stops at the first missing context
         # (longer ones are absent by suffix closure).
@@ -230,7 +243,7 @@ class NGramModel:
                 if hit is None:
                     break
                 prob += hit[1]
-        return FullScoreReturn(prob, length, oov, length >= self.order)
+        return FullScoreReturn(prob, length, oov, indep)
 
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         """python/kenlm.pyx:153-207 — log10 P of the whole sentence."""

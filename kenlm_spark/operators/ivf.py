@@ -26,22 +26,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _assign_expr(vec_col: str, centroids: np.ndarray):
-    """argmin_c ||v - c||^2 via array_min (each distance expression appears
-    exactly once — nested when-chains would duplicate subtrees
-    exponentially in k, which measured 24s of planning at k=8)."""
-    dists = []
-    for c in centroids:
-        d = None
-        for j, cj in enumerate(c):
-            t = F.element_at(F.col(vec_col), j + 1).cast("double") - F.lit(float(cj))
-            term = t * t
-            d = term if d is None else d + term
-        dists.append(d)
-    arr = F.array(*dists)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-
-
 def train_centroids(
     emb: DataFrame,
     k: int = 8,

@@ -83,8 +83,9 @@ def filter_multiple(ngrams: DataFrame, postings: DataFrame) -> DataFrame:
     qualified = hits.filter(F.col("_hits") == F.col("_n")).select(
         "order", "words", "sent_id"
     )
-    if tag_only.isEmpty():
-        return qualified
+    # No eager isEmpty() here: an empty tag_only side just contributes an
+    # empty crossJoin branch lazily (operator construction stays
+    # action-free, so callers can compose plans without triggering jobs).
     all_sents = postings.select("sent_id").distinct()
     tag_fanout = tag_only.select("order", "words").crossJoin(all_sents)
     return qualified.unionByName(tag_fanout)

@@ -21,7 +21,7 @@ from kenlm_spark.functions.text import tokenize
 from kenlm_spark.ngram.model import BOS, EOS
 
 
-def padded_tokens(text_col: Column | str, n: int, bos_count: int = 1) -> Column:
+def padded_tokens(text_col: Column | str, bos_count: int = 1) -> Column:
     """tokens with BOS padding + EOS, as the reference corpus reader emits.
 
     The reference pads N-1 BOS (then collapses duplicate-<s> rows at adjust
@@ -46,7 +46,7 @@ def ngram_counts(
     df: DataFrame, text_col: str = "text", n: int = 2, pad: bool = True
 ) -> DataFrame:
     """(gram: string, cnt: bigint) counts of order-n word n-grams."""
-    toks = padded_tokens(text_col, n) if pad else tokenize(text_col)
+    toks = padded_tokens(text_col) if pad else tokenize(text_col)
     grams = ngrams_expr(toks, n)
     return (
         df.select(F.explode(grams).alias("gram"))

@@ -24,20 +24,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-
-
 def _dot_unrolled(a, b, dim: int):
     """Left-to-right 64-term sum — codegen-friendly (no interpreted lambda)
     and bitwise-identical to the oracle's sequential list_sum."""

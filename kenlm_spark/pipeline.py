@@ -181,12 +181,19 @@ class QualityFilterPipeline:
         mdir = os.path.join(root, "manifests")
         if not os.path.isdir(mdir):
             return None
-        manifests = sorted(p for p in os.listdir(mdir) if p.endswith(".json"))
+        manifests = [p for p in os.listdir(mdir) if p.endswith(".json")]
         if not manifests:
             return None
-        with open(os.path.join(mdir, manifests[-1])) as fh:
-            manifest = json.load(fh)
-        return spark.read.parquet(manifest["data_path"])
+        # Latest = max committed_at INSIDE the manifest, not filename order:
+        # a caller-supplied run_id is an arbitrary string and may sort after
+        # newer time-stamped snapshots.
+        latest = None
+        for p in manifests:
+            with open(os.path.join(mdir, p)) as fh:
+                m = json.load(fh)
+            if latest is None or m["committed_at"] > latest["committed_at"]:
+                latest = m
+        return spark.read.parquet(latest["data_path"])
 
     def run_resumable(
         self, images: DataFrame, checkpoint_root: str, text_col: str = "caption"

@@ -127,3 +127,22 @@ def test_arpa_gz_roundtrip(tmp_path):
     gz.write_bytes(gzip.compress(src))
     m = load_arpa(str(gz))
     assert m.order == 5 and "looking" in m
+
+
+def test_arpa_bz2_xz_roundtrip(tmp_path):
+    """util/read_compressed.cc parity: bzip2 and xz are detected by magic
+    bytes, regardless of extension."""
+    import bz2
+    import lzma
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    src = (Path(__file__).parent / "fixtures" / "test.arpa").read_bytes()
+    for name, data in [
+        ("m.arpa.bz2", bz2.compress(src)),
+        ("m_xz_wrong_ext.arpa", lzma.compress(src)),  # magic, not extension
+    ]:
+        p = tmp_path / name
+        p.write_bytes(data)
+        m = load_arpa(str(p))
+        assert m.order == 5 and "looking" in m

@@ -307,6 +307,34 @@ class TestStateless:
         ret = model_nounk.full_score_forgot_state([0], 0)
         assert ret.log10_prob == pytest.approx(-100.0, abs=1e-4)
 
+    def test_stateless_matches_stateful_flags(self, model):
+        """model_test.cc's StatelessTest asserts FullScoreForgotState ==
+        FullScore given the same history — including independent_left,
+        which must be set whenever the longest match has no left
+        extension, not only at full order (ADVICE round 1)."""
+        seq = ["<s>", "looking", "on", "a", "little", "the", "biarritz",
+               "not_found", "more", ".", "</s>"]
+        ids = [model.word_id(w) for w in seq]
+        state = model.begin_sentence_state()
+        saw_short_independent = False
+        for i in range(1, len(ids)):
+            stateful, state = model.full_score(state, ids[i])
+            ctx_rev = list(reversed(ids[:i]))
+            stateless = model.full_score_forgot_state(ctx_rev, ids[i])
+            assert stateless.log10_prob == pytest.approx(
+                stateful.log10_prob, abs=1e-6
+            ), seq[i]
+            assert stateless.ngram_length == stateful.ngram_length, seq[i]
+            assert stateless.independent_left == stateful.independent_left, seq[i]
+            if (
+                stateful.independent_left
+                and stateful.ngram_length < model.order
+            ):
+                saw_short_independent = True
+        # the sequence must actually exercise the below-order case the
+        # old `length >= order` shortcut got wrong
+        assert saw_short_independent
+
 
 class TestVocabSurface:
     # model_test.cc:299-345 — vocab enumeration yields 37 ids; API surface
