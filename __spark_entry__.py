@@ -406,6 +406,65 @@ def q_interpolate_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Held-out tuning text for q_interpolate_tuned: fixed (not sf-dependent)
+# so the DuckDB oracle can recompute identical weights.
+TUNE_HELDOUT = [
+    "the query joins the table rows",
+    "executors run the shuffle quickly",
+    "the fox runs over the table",
+    "the plan scans partitions of the table",
+]
+_TUNED_W: list[float] | None = None
+
+
+def _tuned_weights() -> list[float]:
+    """Newton-tuned log-linear weights on the held-out text, normalized to
+    sum 1 for the linear merge (lm/interpolate/tune_weights.cc ported in
+    kenlm_spark/ngram/tune.py). Pure numpy + fixtures → deterministic, so
+    the oracle SQL embeds the identical values."""
+    global _TUNED_W
+    if _TUNED_W is None:
+        from kenlm_spark.ngram.tune import build_instances, tune_weights
+        from kenlm_spark.oracle import arpa_ngram_rows
+
+        rows = [
+            list(arpa_ngram_rows(os.path.join(REPO, "tests", "fixtures", f)))
+            for f in ("tune_a.arpa", "tune_b.arpa")
+        ]
+        w = tune_weights(
+            build_instances(rows, [s.split() for s in TUNE_HELDOUT])
+        )
+        s = float(w.sum())
+        _TUNED_W = [float(x) / s for x in w]
+    return _TUNED_W
+
+
+def q_interpolate_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + tune_weights.cc: interpolate two estimator-built models with
+    λ TUNED on held-out text (Newton on the log-linear objective,
+    tune_derivatives.cc), then applied through the static merge."""
+    from kenlm_spark.operators.interpolate_models import interpolate_models
+    from kenlm_spark.oracle import arpa_ngram_rows
+
+    import numpy as np
+
+    lam = _tuned_weights()
+
+    def as_df(path):
+        rows = [
+            (n, g.split(" "), float(np.float32(p)), float(np.float32(b)))
+            for n, g, p, b in arpa_ngram_rows(path)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "order int, words array<string>, log10_prob double, log10_backoff double",
+        )
+
+    a = os.path.join(REPO, "tests", "fixtures", "tune_a.arpa")
+    b = os.path.join(REPO, "tests", "fixtures", "tune_b.arpa")
+    return interpolate_models([as_df(a), as_df(b)], lam, order=3)
+
+
 def q_quantize_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: per-order equal-frequency quantization (4-bit) of the golden
     model's probs/backoffs to bin means."""
@@ -636,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
         "q_interpolate_models": q_interpolate_models,
+        "q_interpolate_tuned": q_interpolate_tuned,
         "q_quantize_model": q_quantize_model,
         "q_token_stats": q_token_stats,
         "q_multimodal_meta": q_multimodal_meta,
@@ -855,6 +915,13 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
             0.6,
             0.4,
             order=5,
+        ),
+        "q_interpolate_tuned": interpolate_models_sql(
+            ngram_values_cte(os.path.join(REPO, "tests", "fixtures", "tune_a.arpa")),
+            ngram_values_cte(os.path.join(REPO, "tests", "fixtures", "tune_b.arpa")),
+            _tuned_weights()[0],
+            _tuned_weights()[1],
+            order=3,
         ),
         "q_dedup_embedding": sim.embedding_near_dups_sql(
             threshold=0.4, use_lsh=True, n_planes=8
