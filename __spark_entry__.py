@@ -120,6 +120,55 @@ def q_score_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChartState/RuleScore (lm/left.hh): each caption is split in half,
+    both halves scored as independent fragments (unknown left context),
+    then composed with non_terminal + begin_sentence — the chart-decoder
+    primitive. Composition must telescope to the sequential score, so the
+    oracle is the same DuckDB scoring query as q_score_captions."""
+    import pandas as pd
+
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    bc = spark.sparkContext.broadcast(_model())
+
+    def run(batches):
+        from kenlm_spark.ngram.left import ChartState, RuleScore
+
+        model = bc.value
+        eos = model.eos_id
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                ids = [
+                    model.word_id(t) for t in PY_TOKEN_RE.split(text) if t
+                ]
+                mid = len(ids) // 2
+
+                def fragment(words):
+                    st = ChartState()
+                    sc = RuleScore(model, st)
+                    for w in words:
+                        sc.terminal(w)
+                    return st, sc.finish()
+
+                s1, p1 = fragment(ids[:mid])
+                s2, p2 = fragment(ids[mid:] + [eos])
+                top = ChartState()
+                sc = RuleScore(model, top)
+                sc.begin_sentence()
+                sc.non_terminal(s1, p1)
+                sc.non_terminal(s2, p2)
+                out.append((doc_id, round(sc.finish(), 3)))
+            yield pd.DataFrame(out, columns=["doc_id", "log10_prob"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(run, "doc_id long, log10_prob double")
+    )
+
+
 def q_corpus_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: corpus-level perplexity rollup incl./excl. OOV — the reference's
     query binary summary (lm/ngram_query.hh:96-99)."""
@@ -664,6 +713,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_score_captions": q_score_captions,
+        "q_score_fragments": q_score_fragments,
         "q_score_stupid_backoff": q_score_stupid_backoff,
         "q_corpus_ppl": q_corpus_ppl,
         "q_events_sessions": q_events_sessions,
@@ -779,6 +829,9 @@ FROM s
 
     return {
         "q_score_captions": score,
+        "q_score_fragments": (
+            "SELECT doc_id, log10_prob FROM (" + score + ")"
+        ),
         "q_score_stupid_backoff": stupid,
         "q_corpus_ppl": corpus_ppl,
         "q_events_sessions": """

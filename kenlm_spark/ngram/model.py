@@ -55,12 +55,20 @@ def _has_extension(backoff: float) -> bool:
 
 @dataclass
 class FullScoreReturn:
-    """Mirror of lm/return.hh:8-39 (minus extend_left/rest plumbing)."""
+    """Mirror of lm/return.hh:8-39.
+
+    ``extend_left`` is the hash-chain node of the longest match (for
+    unigrams, the word id — parallel to the reference's pointer encoding),
+    consumable by :meth:`NGramModel.extend_left_score`. ``rest`` equals
+    ``log10_prob`` for these models (no REST_PROBING lower-order weights;
+    lm/value.hh ProbingWithoutRest pins Rest == Prob)."""
 
     log10_prob: float
     ngram_length: int
     oov: bool
     independent_left: bool
+    rest: float = 0.0
+    extend_left: int = 0
 
 
 @dataclass
@@ -159,6 +167,7 @@ class NGramModel:
         out_len = 1 if _has_extension(backoff0) else 0
 
         node = word_id
+        ext_left = word_id  # unigram extend pointer = word id
         for i, ctx_word in enumerate(state.words):
             if indep:
                 break
@@ -177,18 +186,25 @@ class NGramModel:
                 break
             prob, bo, ext = hit
             ngram_length = n
+            ext_left = node
             out_backoffs.append(bo)
             if _has_extension(bo):
                 out_len = n
             indep = not ext
 
+        # rest = matched entry's value BEFORE backoff charges (lm/model.cc
+        # FullScore adds backoffs to prob only; rest stays ScoreExceptBackoff's)
+        rest = prob
         # Backoff charging: lm/model.cc:136-139.
         for j in range(ngram_length - 1, state.length):
             prob += state.backoffs[j]
 
         out_words.extend(state.words[: max(out_len - 1, 0)])
         out_state = State(out_words[:out_len], out_backoffs[:out_len])
-        return FullScoreReturn(prob, ngram_length, oov, indep), out_state
+        return (
+            FullScoreReturn(prob, ngram_length, oov, indep, rest, ext_left),
+            out_state,
+        )
 
     def full_score_forgot_state(
         self, context_ids_rev: list[int], word_id: int
@@ -209,6 +225,7 @@ class NGramModel:
         # given context matched with the last hit still extendable.
         indep = not bool(self.uni_extends[word_id])
         node = word_id
+        ext_left = word_id
         for i, c in enumerate(ctx):
             if indep:
                 break
@@ -227,7 +244,9 @@ class NGramModel:
                 break
             prob = hit[0]
             length = n
+            ext_left = node
             indep = not bool(hit[2])
+        rest = prob
         # Charge backoffs of the most-recent m context words, m in
         # [length, len(ctx)]; chain stops at the first missing context
         # (longer ones are absent by suffix closure).
@@ -243,7 +262,89 @@ class NGramModel:
                 if hit is None:
                     break
                 prob += hit[1]
-        return FullScoreReturn(prob, length, oov, indep)
+        return FullScoreReturn(prob, length, oov, indep, rest, ext_left)
+
+    def extend_left_score(
+        self,
+        add_ids_rev: list[int],
+        backoff_in: list[float],
+        extend_pointer: int,
+        extend_length: int,
+    ) -> tuple[FullScoreReturn, list[float], int]:
+        """lm/model.cc:195-228 ExtendLeft: extend a previously matched
+        n-gram (``extend_pointer`` from a ``FullScoreReturn.extend_left``,
+        ``extend_length`` words long) further LEFT with ``add_ids_rev``
+        (nearest-first). Returns (ret, backoff_out, next_use):
+
+        * ret.log10_prob — telescoping delta: new longest match minus the
+          old match's rest, plus backoff_in charges for unmatched adds;
+        * backoff_out[i] — backoff of the (extend_length+1+i)-gram match,
+          for composing further scoring to the right;
+        * next_use — how many of the add words remain usable as right
+          context (0 when the extension dead-ended immediately).
+        """
+        if extend_length == 1:
+            w = int(extend_pointer)
+            prob = float(self.uni_prob[w])
+            node = w
+            ext_left = w
+            indep = False  # reference asserts !independent_left here
+        else:
+            hit = self._find(extend_length, extend_pointer)
+            prob = hit[0]
+            node = extend_pointer
+            ext_left = extend_pointer
+            indep = False
+        subtract_me = prob  # rest == prob (no rest models)
+        length = extend_length
+        next_use = extend_length
+        backoff_out: list[float] = []
+
+        # ResumeScore (lm/model.cc:272-296) starting at order_minus_2 =
+        # extend_length - 1.
+        order_minus_2 = extend_length - 1
+        for add_word in add_ids_rev:
+            if indep:
+                break
+            node = combine_word_hash(node, add_word)
+            if order_minus_2 == self.order - 2:
+                indep = True
+                hit = self._find(self.order, node)
+                if hit is not None:
+                    prob = hit[0]
+                    length = self.order
+                break
+            hit = self._find(order_minus_2 + 2, node)
+            if hit is None:
+                # LookupMiddle sets independent_left on a miss
+                # (lm/search_hashed.hh:108-113)
+                indep = True
+                break
+            backoff_out.append(hit[1])
+            prob = hit[0]
+            length = order_minus_2 + 2
+            ext_left = node
+            indep = not hit[2]
+            if _has_extension(hit[1]):
+                next_use = length
+            order_minus_2 += 1
+
+        next_use -= extend_length
+        rest = prob - subtract_me  # rest excludes the backoff_in charges
+        # Charge backoffs of the adds the longer match did not cover.
+        for j in range(length - extend_length, len(add_ids_rev)):
+            prob += backoff_in[j]
+        prob -= subtract_me
+        return (
+            FullScoreReturn(prob, length, False, indep, rest, ext_left),
+            backoff_out,
+            next_use,
+        )
+
+    def unrest(self, pointers: list[int], first_length: int) -> float:
+        """lm/model.hh:100-103 UnRest — 0.0 for non-rest models (Rest ==
+        Prob everywhere, so un-resting charges nothing)."""
+        return 0.0
 
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         """python/kenlm.pyx:153-207 — log10 P of the whole sentence."""
