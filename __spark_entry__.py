@@ -120,6 +120,38 @@ def q_score_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_captions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based scoring (no model broadcast): model as a tall
+    (n, key, prob, backoff) DataFrame, candidates equi-joined per order —
+    the fallback when the estimated model outgrows the driver/broadcast
+    ceiling. Must hash-match q_score_captions' oracle exactly."""
+    from kenlm_spark.ngram.join_scorer import (
+        model_table,
+        score_with_join,
+        vocab_table,
+    )
+
+    m = _model()
+    scored = score_with_join(
+        _docs(spark, sf_dir),
+        "text",
+        model_table(spark, m),
+        vocab_table(spark, m),
+        m.order,
+        m.bos_id,
+        m.eos_id,
+    )
+    return scored.select(
+        "doc_id",
+        F.round(F.col("log10_prob"), 3).alias("log10_prob"),
+        F.round(
+            -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)), 4
+        ).alias("log10_ppl"),
+        F.col("oov_count"),
+        F.col("n_tokens"),
+    )
+
+
 def q_score_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ChartState/RuleScore (lm/left.hh): each caption is split in half,
     both halves scored as independent fragments (unknown left context),
@@ -713,6 +745,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_score_captions": q_score_captions,
+        "q_score_captions_join": q_score_captions_join,
         "q_score_fragments": q_score_fragments,
         "q_score_stupid_backoff": q_score_stupid_backoff,
         "q_corpus_ppl": q_corpus_ppl,
@@ -829,6 +862,7 @@ FROM s
 
     return {
         "q_score_captions": score,
+        "q_score_captions_join": score,
         "q_score_fragments": (
             "SELECT doc_id, log10_prob FROM (" + score + ")"
         ),

@@ -1,0 +1,229 @@
+"""Join-based caption scoring — the fallback for models too large to
+broadcast.
+
+The broadcast scorer (``scorer.SparkNGramScorer``) ships the whole model
+to every executor; at 100 TB-corpus n-gram counts the model itself can
+outgrow the driver/broadcast ceiling (``estimator.to_ngram_model``
+collects it). This module scores with the model kept DISTRIBUTED as a
+tall ``(n, key, prob, backoff)`` DataFrame (parquet-able, bucketable by
+``key``), using only relational ops plus one hash-chain mapInPandas:
+
+1. tokenize + posexplode, token→id via a JOIN with the vocab table
+   (never a broadcast dict);
+2. one Python pass per doc emits every candidate key: gram keys
+   (context+word, orders 1..N) and context-suffix keys (for backoff
+   charges) — pure ``combine_word_hash`` chains, no model access;
+3. one equi-join against the model table on (n, key) — the scale step:
+   with the model bucketed by key this is a co-located join;
+4. per-position reassembly: longest gram match L → its prob, plus the
+   backoffs of context suffixes of length >= L (ARPA backoff recursion,
+   missing suffixes charge nothing by suffix closure);
+5. per-doc rollup (Σ log10, oov count, token count).
+
+Numerically identical to the broadcast path (same float32 payloads, same
+charges; summation-order ulps absorbed by the same round() the oracle
+uses) — ``q_score_captions_join`` hash-matches q_score_captions' oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenlm_spark.functions.text import tokenize
+from kenlm_spark.ngram.hashing import combine_word_hash
+from kenlm_spark.ngram.model import NGramModel
+
+
+def model_table(spark: SparkSession, model: NGramModel) -> DataFrame:
+    """Export the model as a tall (n, key, prob, backoff) DataFrame.
+
+    ``key`` is the int64 view of the uint64 hash chain (order >= 2) or the
+    word id (order 1). Includes hallucinated blanks, so join-based lookup
+    sees exactly what the broadcast arrays see. In production this table
+    is written to parquet bucketed by ``key`` and never re-collected.
+    """
+    import pandas as pd
+
+    frames = [
+        pd.DataFrame(
+            {
+                "n": 1,
+                "key": np.arange(len(model.uni_prob), dtype=np.int64),
+                "prob": model.uni_prob.astype(np.float64),
+                "backoff": model.uni_backoff.astype(np.float64),
+            }
+        )
+    ]
+    for n in range(2, model.order + 1):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "n": n,
+                    "key": model.keys[n].view(np.int64),
+                    "prob": model.probs[n].astype(np.float64),
+                    "backoff": (
+                        model.backoffs[n].astype(np.float64)
+                        if n < model.order
+                        else np.zeros(len(model.keys[n]))
+                    ),
+                }
+            )
+        )
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def vocab_table(spark: SparkSession, model: NGramModel) -> DataFrame:
+    """(word, id) — the distributed twin of the vocab dict."""
+    return spark.createDataFrame(
+        list(model.vocab.items()), "word string, id long"
+    )
+
+
+def score_with_join(
+    docs: DataFrame,
+    text_col: str,
+    model_df: DataFrame,
+    vocab_df: DataFrame,
+    order: int,
+    bos_id: int,
+    eos_id: int,
+) -> DataFrame:
+    """(doc_id, log10_prob, oov_count, n_tokens) with KenLM semantics,
+    computed without any broadcast of model state."""
+    spark = docs.sparkSession
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "word")
+    )
+    ids = toks.join(vocab_df, "word", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("wid")
+    )
+    seqs = ids.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "wid"))),
+            lambda s: s["wid"],
+        ).alias("ids")
+    )
+    # keep docs whose caption tokenized to nothing (scored as <s> → </s>)
+    seqs = docs.select("doc_id").join(seqs, "doc_id", "left").select(
+        "doc_id", F.coalesce("ids", F.array().cast("array<long>")).alias("ids")
+    )
+
+    def gen_keys(batches):
+        """Vectorized over the whole Arrow batch: flatten all padded
+        sequences, compute the order-n key chain K[n][j] =
+        combine(K[n-1][j], flat[j-n+1]) with combine_word_hash_vec, and
+        mask positions whose context would cross a document boundary.
+        Context-suffix keys of length m at position j are gram keys of
+        order m at position j-1, so one chain matrix serves both."""
+        import pandas as pd
+
+        from kenlm_spark.ngram.hashing import combine_word_hash_vec
+
+        for pdf in batches:
+            lens = np.fromiter(
+                (len(x) + 2 for x in pdf["ids"]), dtype=np.int64, count=len(pdf)
+            )
+            total = int(lens.sum())
+            flat = np.empty(total, dtype=np.uint64)
+            doc_of = np.empty(total, dtype=np.int64)
+            rel_pos = np.empty(total, dtype=np.int64)
+            off = 0
+            for doc_id, id_list in zip(pdf["doc_id"], pdf["ids"]):
+                ln = len(id_list) + 2
+                flat[off] = bos_id
+                flat[off + 1 : off + ln - 1] = np.asarray(id_list, dtype=np.uint64)
+                flat[off + ln - 1] = eos_id
+                doc_of[off : off + ln] = doc_id
+                rel_pos[off : off + ln] = np.arange(ln)
+                off += ln
+
+            # K[n-1][j]: key of the n-gram ending at j (garbage where the
+            # n-gram crosses a doc boundary; masked below via rel_pos).
+            keys = np.empty((order, total), dtype=np.uint64)
+            keys[0] = flat
+            for n in range(2, order + 1):
+                shifted = np.empty(total, dtype=np.uint64)
+                shifted[n - 1 :] = flat[: total - (n - 1)]
+                shifted[: n - 1] = 0
+                keys[n - 1] = combine_word_hash_vec(keys[n - 2], shifted)
+
+            scored = rel_pos >= 1  # every position except each doc's <s>
+            parts = []
+            for n in range(1, order + 1):
+                # gram of order n valid where ctx_len+1 >= n  (ctx_len =
+                # min(rel_pos, order-1))
+                g_mask = scored & (np.minimum(rel_pos, order - 1) + 1 >= n)
+                if g_mask.any():
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": doc_of[g_mask],
+                                "pos": rel_pos[g_mask],
+                                "n": n,
+                                "is_gram": True,
+                                "key": keys[n - 1][g_mask].view(np.int64),
+                                "wid": flat[g_mask].view(np.int64),
+                            }
+                        )
+                    )
+                # ctx suffix of length n at position j = gram of order n
+                # ending at j-1; valid where ctx_len >= n
+                c_mask = scored & (np.minimum(rel_pos, order - 1) >= n)
+                if c_mask.any():
+                    prev = np.flatnonzero(c_mask) - 1
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": doc_of[c_mask],
+                                "pos": rel_pos[c_mask],
+                                "n": n,
+                                "is_gram": False,
+                                "key": keys[n - 1][prev].view(np.int64),
+                                "wid": flat[c_mask].view(np.int64),
+                            }
+                        )
+                    )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    cand = seqs.mapInPandas(
+        gen_keys,
+        "doc_id long, pos int, n int, is_gram boolean, key long, wid long",
+    )
+
+    hits = cand.join(model_df, ["n", "key"], "left")
+    grams = (
+        hits.filter(F.col("is_gram") & F.col("prob").isNotNull())
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.max_by("prob", "n").alias("match_prob"),
+            F.max("n").alias("match_len"),
+            F.first("wid").alias("wid"),
+        )
+    )
+    charges = (
+        hits.filter(~F.col("is_gram") & F.col("backoff").isNotNull())
+        .select("doc_id", "pos", F.col("n").alias("m"), "backoff")
+        .join(grams.select("doc_id", "pos", "match_len"), ["doc_id", "pos"])
+        .filter(F.col("m") >= F.col("match_len"))
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("backoff").alias("charge"))
+    )
+    token_scores = grams.join(charges, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        (F.col("match_prob") + F.coalesce(F.col("charge"), F.lit(0.0))).alias(
+            "score"
+        ),
+        "wid",
+    )
+    return token_scores.groupBy("doc_id").agg(
+        F.sum("score").alias("log10_prob"),
+        F.sum(F.when(F.col("wid") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("oov_count"),
+        (F.count("*") - 1).cast("long").alias("n_tokens"),  # minus </s>
+    )

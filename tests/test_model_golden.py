@@ -336,6 +336,47 @@ class TestStateless:
         assert saw_short_independent
 
 
+class TestJoinScorer:
+    """Join-based (no-broadcast) scorer must equal the broadcast batch
+    scorer bit-for-bit on the same captions."""
+
+    def test_join_matches_broadcast(self, spark, model):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from kenlm_spark.ngram.join_scorer import (
+            model_table,
+            score_with_join,
+            vocab_table,
+        )
+
+        texts = [
+            "looking on a little more loin",
+            "the biarritz",
+            "screening a little more",  # OOV word
+            "",  # empty caption: <s> -> </s> only
+            "consider higher to look good unknown",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        joined = {
+            r["doc_id"]: r
+            for r in score_with_join(
+                docs, "text", model_table(spark, model),
+                vocab_table(spark, model), model.order, model.bos_id,
+                model.eos_id,
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            ids = [np.asarray(model.map_ids(t.split()), dtype=np.int64)]
+            s, o, k = model.score_batch(ids)
+            r = joined[i]
+            assert r["log10_prob"] == pytest.approx(float(s[0]), abs=1e-9), t
+            assert r["oov_count"] == int(o[0]), t
+            assert r["n_tokens"] == int(k[0]) - 1, t
+
+
 class TestVocabSurface:
     # model_test.cc:299-345 — vocab enumeration yields 37 ids; API surface
     # parity with python/kenlm.pyx:149-151, :277-279.
