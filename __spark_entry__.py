@@ -651,8 +651,10 @@ def q_parts_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: IVF coarse-quantizer probing (deterministic
-    Lloyd k-means, n_probe cells, exact re-rank). No SQL oracle
-    (approximate); recall tested against the exact top-k."""
+    Lloyd k-means, n_probe cells, exact re-rank). Training is
+    deterministic (by-id sample, first-k init, fixed iterations), so the
+    whole path has a DuckDB oracle with the Lloyd loop unrolled in SQL;
+    recall additionally tested against the exact top-k."""
     from kenlm_spark.operators.ivf import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -801,6 +803,12 @@ def _ng_cte() -> str:
         for n, g, _, _ in arpa_ngram_rows(ARPA_PATH)
     )
     return f"ng(ord, gram) AS (VALUES\n    {vals})"
+
+
+def _ivf_sql() -> str:
+    from kenlm_spark.operators.ivf import ivf_topk_sql
+
+    return ivf_topk_sql(list(range(8)), k=10, n_cells=8, n_probe=3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1014,6 +1022,7 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
             threshold=0.4, use_lsh=True, n_planes=8
         ),
         "q_similarity_lsh": sim.lsh_bucket_topk_sql(list(range(8)), k=10),
+        "q_similarity_ivf": _ivf_sql(),
         "q_lang_agreement": (
             f"SELECT lang, {lang_sql('text')} AS lang_pred, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"

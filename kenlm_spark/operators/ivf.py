@@ -85,6 +85,117 @@ def assign_cells(
     )
 
 
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 5,
+    sample: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivf_topk``: the deterministic Lloyd training is
+    unrolled as ``iters`` CTE pairs (assign = windowed argmin with cell
+    tie-break, update = per-dimension AVG with empty-cell fallback), then
+    probe + exact re-rank exactly as the Spark side."""
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    ctes = [
+        f"""base AS (
+  SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+)""",
+        f"samp AS (SELECT nid, v FROM base ORDER BY nid LIMIT {sample})",
+        "dims AS (SELECT unnest(generate_series(1, "
+        "(SELECT len(v) FROM base LIMIT 1))) AS d)",
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY nid) - 1 AS cell, v AS c
+  FROM (SELECT * FROM samp ORDER BY nid LIMIT {n_cells})
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT nid, v, cell FROM (
+    SELECT s.nid, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.nid
+                              ORDER BY {d2('s.v', 'c.c')}, c.cell) AS rn
+    FROM samp s CROSS JOIN cent{t - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""cent{t} AS (
+  SELECT p.cell, COALESCE(m.c, p.c) AS c
+  FROM cent{t - 1} p LEFT JOIN (
+    SELECT cell, list(avgv ORDER BY d) AS c FROM (
+      SELECT a.cell, dims.d, AVG(a.v[dims.d]) AS avgv
+      FROM a{t} a, dims GROUP BY a.cell, dims.d
+    ) GROUP BY cell
+  ) m ON m.cell = p.cell
+)"""
+        )
+    ids = ", ".join(str(i) for i in query_ids)
+    ctes.append(
+        f"""assigned AS (
+  SELECT nid, v, cell FROM (
+    SELECT b.nid, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.nid
+                              ORDER BY {d2('b.v', 'c.c')}, c.cell) AS rn
+    FROM base b CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(f"q AS (SELECT nid AS query_id, v AS qv FROM base WHERE nid IN ({ids}))")
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2('q.qv', 'c.c')}, c.cell) AS rn
+    FROM q CROSS JOIN cent{iters} c
+  ) WHERE rn <= {n_probe}
+)"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT p.query_id, a.nid AS neighbor_id, a.v
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.nid <> p.query_id
+)"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.qv)),
+                                   i -> q.qv[i] * c.v[i]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))),
+           6) AS score
+  FROM cand c JOIN q ON q.query_id = c.query_id
+)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
