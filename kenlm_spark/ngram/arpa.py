@@ -58,16 +58,16 @@ def _open(path: str):
     return open(path, encoding="utf-8")
 
 
-def load_arpa(path: str) -> NGramModel:
+def load_arpa(path: str, rest: bool = False) -> NGramModel:
     with _open(path) as f:
-        return parse_arpa(f)
+        return parse_arpa(f, rest=rest)
 
 
-def loads_arpa(text: str) -> NGramModel:
-    return parse_arpa(io.StringIO(text))
+def loads_arpa(text: str, rest: bool = False) -> NGramModel:
+    return parse_arpa(io.StringIO(text), rest=rest)
 
 
-def parse_arpa(f) -> NGramModel:  # noqa: C901 - mirrors the reference loader
+def parse_arpa(f, rest: bool = False) -> NGramModel:  # noqa: C901 - mirrors the reference loader
     # --- \data\ header (lm/read_arpa.cc:47-86)
     line = f.readline()
     while line and line.strip() == "":
@@ -227,6 +227,38 @@ def parse_arpa(f) -> NGramModel:  # noqa: C901 - mirrors the reference loader
             suffix_sets[n - 1].add(ent[_SUFFIX])
     for wid in suffix_sets.get(1, ()):
         uni_extends[wid] = True
+    # --- REST_PROBING (MaxRestBuild, lm/value_build.hh:35-62): rest of an
+    # entry = max(-|own prob|, rest of every n-gram that extends it left),
+    # i.e. the max over the whole left-extension closure. Computed top-down
+    # (order → 2) so each level is final before it feeds the level below —
+    # equivalent to the reference's incremental MarkExtends/MarkLower
+    # cascade (kMarkEvenLower pushes to unigrams too).
+    uni_rest = None
+    rest_tables: dict[int, dict[int, np.float32]] | None = None
+    if rest:
+        uni_rest = -np.abs(uni_prob)
+        rest_tables = {
+            n: {
+                k: np.float32(-abs(np.float32(v[_PROB])))
+                for k, v in tables[n].items()
+            }
+            for n in range(2, order)
+        }
+        for n in range(order, 1, -1):
+            for k, v in tables[n].items():
+                val = (
+                    np.float32(-abs(np.float32(v[_PROB])))
+                    if n == order
+                    else rest_tables[n][k]
+                )
+                s = v[_SUFFIX]
+                if n - 1 == 1:
+                    if val > uni_rest[s]:
+                        uni_rest[s] = val
+                elif val > rest_tables[n - 1][s]:
+                    rest_tables[n - 1][s] = val
+
+    rests: dict[int, np.ndarray] | None = {} if rest else None
     for n in range(2, order + 1):
         items = sorted(tables[n].items())
         karr = np.array([k for k, _ in items], dtype=np.uint64)
@@ -237,8 +269,14 @@ def parse_arpa(f) -> NGramModel:  # noqa: C901 - mirrors the reference loader
             backoffs[n] = np.array([v[_BACKOFF] for _, v in items], dtype=np.float32)
             sset = suffix_sets[n]
             extends[n] = np.array([k in sset for k, _ in items], dtype=bool)
+            if rest:
+                rests[n] = np.array(
+                    [rest_tables[n][k] for k, _ in items], dtype=np.float32
+                )
 
     return NGramModel(
+        uni_rest=uni_rest,
+        rests=rests,
         order=order,
         vocab=vocab,
         uni_prob=uni_prob,

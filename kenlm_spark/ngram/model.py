@@ -104,6 +104,8 @@ class NGramModel:
         probs: dict[int, np.ndarray],
         backoffs: dict[int, np.ndarray],
         extends: dict[int, np.ndarray],
+        uni_rest: np.ndarray | None = None,
+        rests: dict[int, np.ndarray] | None = None,
     ) -> None:
         self.order = order
         self.vocab = vocab
@@ -114,8 +116,17 @@ class NGramModel:
         self.probs = probs
         self.backoffs = backoffs
         self.extends = extends
+        # REST_PROBING (lm/value.hh): per-entry rest weights for orders
+        # 1..order-1 (MaxRestBuild: max over the left-extension closure).
+        # None = plain probing, Rest() == Prob().
+        self.uni_rest = uni_rest
+        self.rests = rests
         self.bos_id = vocab.get(BOS, 0)
         self.eos_id = vocab.get(EOS, 0)
+
+    @property
+    def has_rest(self) -> bool:
+        return self.uni_rest is not None
 
     # ------------------------------------------------------------------ vocab
 
@@ -133,7 +144,9 @@ class NGramModel:
     # ----------------------------------------------------------------- lookup
 
     def _find(self, n: int, key: int):
-        """Return (prob, backoff, extends) for an order-n key or None."""
+        """Return (prob, backoff, extends, rest) for an order-n key or
+        None. rest == prob for non-rest models and for the longest order
+        (lm/value.hh: longest entries have no separate rest)."""
         ks = self.keys[n]
         i = int(np.searchsorted(ks, np.uint64(key)))
         if i >= len(ks) or ks[i] != np.uint64(key):
@@ -141,7 +154,16 @@ class NGramModel:
         prob = float(self.probs[n][i])
         backoff = float(self.backoffs[n][i]) if n < self.order else -0.0
         ext = bool(self.extends[n][i]) if n < self.order else False
-        return prob, backoff, ext
+        if self.rests is not None and n < self.order:
+            rest = float(self.rests[n][i])
+        else:
+            rest = prob
+        return prob, backoff, ext, rest
+
+    def _uni_rest(self, word_id: int) -> float:
+        if self.uni_rest is not None:
+            return float(self.uni_rest[word_id])
+        return float(self.uni_prob[word_id])
 
     # ------------------------------------------------------------ score paths
 
@@ -168,6 +190,7 @@ class NGramModel:
 
         node = word_id
         ext_left = word_id  # unigram extend pointer = word id
+        rest = self._uni_rest(word_id)
         for i, ctx_word in enumerate(state.words):
             if indep:
                 break
@@ -177,6 +200,7 @@ class NGramModel:
                 hit = self._find(n, node)
                 if hit is not None:
                     prob = hit[0]
+                    rest = hit[0]
                     ngram_length = n
                 indep = True
                 break
@@ -184,17 +208,15 @@ class NGramModel:
             if hit is None:
                 indep = True
                 break
-            prob, bo, ext = hit
+            prob, bo, ext, rest = hit
             ngram_length = n
             ext_left = node
             out_backoffs.append(bo)
             if _has_extension(bo):
                 out_len = n
             indep = not ext
-
-        # rest = matched entry's value BEFORE backoff charges (lm/model.cc
+        # rest = matched entry's Rest() BEFORE backoff charges (lm/model.cc
         # FullScore adds backoffs to prob only; rest stays ScoreExceptBackoff's)
-        rest = prob
         # Backoff charging: lm/model.cc:136-139.
         for j in range(ngram_length - 1, state.length):
             prob += state.backoffs[j]
@@ -226,6 +248,7 @@ class NGramModel:
         indep = not bool(self.uni_extends[word_id])
         node = word_id
         ext_left = word_id
+        rest = self._uni_rest(word_id)
         for i, c in enumerate(ctx):
             if indep:
                 break
@@ -235,6 +258,7 @@ class NGramModel:
                 hit = self._find(n, node)
                 if hit is not None:
                     prob = hit[0]
+                    rest = hit[0]
                     length = n
                 indep = True
                 break
@@ -243,10 +267,10 @@ class NGramModel:
                 indep = True
                 break
             prob = hit[0]
+            rest = hit[3]
             length = n
             ext_left = node
             indep = not bool(hit[2])
-        rest = prob
         # Charge backoffs of the most-recent m context words, m in
         # [length, len(ctx)]; chain stops at the first missing context
         # (longer ones are absent by suffix closure).
@@ -286,16 +310,18 @@ class NGramModel:
         if extend_length == 1:
             w = int(extend_pointer)
             prob = float(self.uni_prob[w])
+            cur_rest = self._uni_rest(w)
             node = w
             ext_left = w
             indep = False  # reference asserts !independent_left here
         else:
             hit = self._find(extend_length, extend_pointer)
             prob = hit[0]
+            cur_rest = hit[3]
             node = extend_pointer
             ext_left = extend_pointer
             indep = False
-        subtract_me = prob  # rest == prob (no rest models)
+        subtract_me = cur_rest  # the rest the caller previously charged
         length = extend_length
         next_use = extend_length
         backoff_out: list[float] = []
@@ -312,6 +338,7 @@ class NGramModel:
                 hit = self._find(self.order, node)
                 if hit is not None:
                     prob = hit[0]
+                    cur_rest = hit[0]
                     length = self.order
                 break
             hit = self._find(order_minus_2 + 2, node)
@@ -322,6 +349,7 @@ class NGramModel:
                 break
             backoff_out.append(hit[1])
             prob = hit[0]
+            cur_rest = hit[3]
             length = order_minus_2 + 2
             ext_left = node
             indep = not hit[2]
@@ -330,7 +358,7 @@ class NGramModel:
             order_minus_2 += 1
 
         next_use -= extend_length
-        rest = prob - subtract_me  # rest excludes the backoff_in charges
+        rest = cur_rest - subtract_me  # rest excludes the backoff_in charges
         # Charge backoffs of the adds the longer match did not cover.
         for j in range(length - extend_length, len(add_ids_rev)):
             prob += backoff_in[j]
@@ -342,9 +370,22 @@ class NGramModel:
         )
 
     def unrest(self, pointers: list[int], first_length: int) -> float:
-        """lm/model.hh:100-103 UnRest — 0.0 for non-rest models (Rest ==
-        Prob everywhere, so un-resting charges nothing)."""
-        return 0.0
+        """lm/model.hh:100-103 UnRest: Σ (Prob - Rest) along a left-state
+        pointer chain — converts optimistic rest charges back to true
+        probabilities once the left context becomes known. 0.0 for
+        non-rest models (Rest == Prob everywhere)."""
+        if not self.has_rest:
+            return 0.0
+        total = 0.0
+        ln = first_length
+        for p in pointers:
+            if ln == 1:
+                total += float(self.uni_prob[int(p)]) - self._uni_rest(int(p))
+            else:
+                hit = self._find(ln, p)
+                total += hit[0] - hit[3]
+            ln += 1
+        return total
 
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         """python/kenlm.pyx:153-207 — log10 P of the whole sentence."""
