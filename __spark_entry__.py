@@ -462,6 +462,28 @@ def q_filter_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram"))
 
 
+def q_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm/filter count-file mode (lm/filter/count_io.hh): the filter
+    operators work on COUNT tables, not just models — here the corpus's
+    order-2 window counts filtered to the golden model's vocabulary
+    (Single mode; tags <s>/</s> always pass)."""
+    from kenlm_spark.estimator import count_windows
+    from kenlm_spark.operators.model_filter import filter_single
+
+    from kenlm_spark.operators.ngrams import word_counts
+
+    docs = _docs(spark, sf_dir)
+    w = count_windows(docs, "text", 2)
+    counts = w.select(F.lit(2).alias("order"), "words", "count")
+    vocab = (
+        word_counts(docs, "text").filter(F.col("cnt") >= 20).select("word")
+    )
+    out = filter_single(counts, vocab)
+    return out.select(
+        F.concat_ws(" ", "words").alias("gram"), F.col("count").alias("cnt")
+    )
+
+
 def q_interpolate_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/U2: static interpolation of two models (0.6*test + 0.4*test_nounk)
     with backoff renormalization."""
@@ -777,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_agreement": q_lang_agreement,
         "q_parts_supplier_revenue": q_parts_supplier_revenue,
         "q_filter_vocab_single": q_filter_vocab_single,
+        "q_filter_counts": q_filter_counts,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
         "q_interpolate_models": q_interpolate_models,
@@ -803,6 +826,29 @@ def _ng_cte() -> str:
         for n, g, _, _ in arpa_ngram_rows(ARPA_PATH)
     )
     return f"ng(ord, gram) AS (VALUES\n    {vals})"
+
+
+def _filter_counts_sql() -> str:
+    from kenlm_spark import estimator_sql as est_sql
+    from kenlm_spark.oracle import sql_tokens
+
+    return f"""
+WITH {est_sql.windows_cte('documents', 'text', 2)},
+v AS (
+  SELECT word FROM (
+    SELECT t.word, count(*) AS c FROM
+      (SELECT unnest({sql_tokens('text')}) AS word FROM documents) t
+    GROUP BY t.word
+  ) WHERE c >= 20
+)
+SELECT array_to_string(words, ' ') AS gram, cnt
+FROM w_all
+WHERE NOT EXISTS (
+  SELECT 1 FROM unnest(words) AS t(word)
+  WHERE NOT regexp_matches(t.word, '^<.*>$')
+    AND t.word NOT IN (SELECT word FROM v)
+)
+"""
 
 
 def _ivf_sql() -> str:
@@ -1003,6 +1049,7 @@ tagonly AS (
 SELECT ord, gram, sent_id FROM qual
 UNION ALL SELECT ord, gram, sent_id FROM tagonly
 """,
+        "q_filter_counts": _filter_counts_sql(),
         "q_quantize_model": quantize_model_sql(ngram_values_cte(ARPA_PATH), bits=4),
         "q_interpolate_models": interpolate_models_sql(
             ngram_values_cte(ARPA_PATH),

@@ -56,27 +56,57 @@ def sentence_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def filter_union(ngrams: DataFrame, postings: DataFrame) -> DataFrame:
+def filter_union(
+    ngrams: DataFrame, postings: DataFrame, max_posting: int | None = None
+) -> DataFrame:
     """P2: kept iff some sentence contains every non-tag word."""
     return (
-        filter_multiple(ngrams, postings)
+        filter_multiple(ngrams, postings, max_posting=max_posting)
         .select("order", "words")
         .distinct()
         .join(ngrams, ["order", "words"])
     )
 
 
-def filter_multiple(ngrams: DataFrame, postings: DataFrame) -> DataFrame:
-    """P3: (order, words, sent_id) — one row per qualifying sentence."""
+def filter_multiple(
+    ngrams: DataFrame, postings: DataFrame, max_posting: int | None = None
+) -> DataFrame:
+    """P3: (order, words, sent_id) — one row per qualifying sentence.
+
+    ``max_posting`` is the stop-word skew guard for the posting join (the
+    same role max_bucket plays in dedup): words whose posting list exceeds
+    it are treated as universally present — they stop participating in
+    the intersection join (whose skewed key would otherwise dominate the
+    shuffle) exactly like tags. Default off; the guarded path is a
+    superset of the exact result and is NOT the oracle-checked default.
+    """
     base = ngrams.select(
         "order",
         "words",
         _content_words(F.col("words")).alias("_content"),
     ).withColumn("_n", F.size(F.array_distinct("_content")))
-    tag_only = base.filter(F.col("_n") == 0)
+    tag_only = base.filter(F.col("_n") == 0).select("order", "words")
     ex = base.filter(F.col("_n") > 0).select(
         "order", "words", "_n", F.explode(F.array_distinct("_content")).alias("word")
     )
+    if max_posting is not None:
+        common = (
+            postings.groupBy("word")
+            .agg(F.count("*").alias("_pc"))
+            .filter(F.col("_pc") > max_posting)
+            .select("word")
+        )
+        ex = ex.join(common, "word", "left_anti")
+        req = ex.groupBy("order", "words").agg(F.count("*").alias("_req"))
+        # grams whose every content word is ultra-common qualify everywhere
+        tag_only = tag_only.unionByName(
+            base.filter(F.col("_n") > 0)
+            .join(req, ["order", "words"], "left_anti")
+            .select("order", "words")
+        )
+        ex = ex.join(req, ["order", "words"]).drop("_n").withColumnRenamed(
+            "_req", "_n"
+        )
     hits = ex.join(postings, "word").groupBy("order", "words", "_n", "sent_id").agg(
         F.count_distinct("word").alias("_hits")
     )
@@ -87,5 +117,5 @@ def filter_multiple(ngrams: DataFrame, postings: DataFrame) -> DataFrame:
     # empty crossJoin branch lazily (operator construction stays
     # action-free, so callers can compose plans without triggering jobs).
     all_sents = postings.select("sent_id").distinct()
-    tag_fanout = tag_only.select("order", "words").crossJoin(all_sents)
+    tag_fanout = tag_only.crossJoin(all_sents)
     return qualified.unionByName(tag_fanout)

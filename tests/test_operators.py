@@ -204,6 +204,49 @@ def test_pandas_topk_matches_catalyst(spark, emb):
     assert len(sa & sb) >= len(sa) - len(qids)
 
 
+def test_filter_union_max_posting_guard(spark):
+    """Stop-word skew guard: with a non-binding cap the result equals the
+    exact path; with a binding cap, ultra-common words are treated as
+    universally present (result is a superset of exact)."""
+    from kenlm_spark.operators.model_filter import filter_union, sentence_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the bird flew"),
+            (4, "a cat ran home"),
+            (5, "the fish swam"),
+        ],
+        "doc_id long, text string",
+    )
+    ngrams = spark.createDataFrame(
+        [
+            (2, ["the", "cat"]),     # sentence 1 covers
+            (2, ["the", "home"]),    # no single sentence has both
+            (2, ["cat", "ran"]),     # sentence 4 covers
+            (1, ["<s>"]),            # tag-only: always kept
+        ],
+        "order int, words array<string>",
+    )
+    postings = sentence_postings(docs)
+
+    def kept(**kw):
+        return {
+            tuple(r["words"]) for r in filter_union(ngrams, postings, **kw).collect()
+        }
+
+    exact = kept()
+    assert exact == {("the", "cat"), ("cat", "ran"), ("<s>",)}
+    # cap larger than any posting list: identical
+    assert kept(max_posting=100) == exact
+    # 'the' appears in 4 sentences; cap=3 makes it universal, so
+    # ("the","home") now qualifies via any sentence containing 'home'
+    guarded = kept(max_posting=3)
+    assert exact <= guarded
+    assert ("the", "home") in guarded
+
+
 def test_ngram_counts_pad_semantics(spark):
     from kenlm_spark.operators.ngrams import ngram_counts
 
