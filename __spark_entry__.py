@@ -609,6 +609,31 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(df, "doc_id", "blob")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: map-only fan-out of sampled frames
+    from synthesized binary blobs (deterministic fake decoder — no codecs
+    in the container — so even the 'decode' is oracle-checkable)."""
+    from kenlm_spark.operators.multimodal import frame_sample
+
+    d = _docs(spark, sf_dir)
+    blob = F.unhex(
+        F.concat(F.md5("text"), F.md5("text"), F.md5("text"), F.md5("text"))
+    )
+    videos = d.select(
+        F.col("doc_id").cast("string").alias("video_id"),
+        blob.alias("bytes"),
+        F.lit("fake").alias("fmt"),
+        F.lit(8).alias("n_frames"),
+    )
+    out = frame_sample(videos, every_n=3)
+    return out.select(
+        "video_id",
+        "frame_idx",
+        "decoded_real",
+        F.hex("frame_bytes").alias("frame_hex"),
+    )
+
+
 def q_lm_model_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: count-threshold pruning — singleton bigrams/trigrams dropped,
     their mass folded into the context gammas."""
@@ -807,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_model": q_quantize_model,
         "q_token_stats": q_token_stats,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_multimodal_frames": q_multimodal_frames,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
         "q_events_hourly": q_events_hourly,
@@ -1091,6 +1117,18 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(coalesce(text, ''),
          '[A-Za-z]+|[0-9]|[^A-Za-z0-9\x00\t\n\r ]')) AS BIGINT) AS bpe_ish_tokens
 FROM documents
+""",
+        "q_multimodal_frames": """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS video_id,
+         upper(md5(text) || md5(text) || md5(text) || md5(text)) AS bh
+  FROM documents
+),
+f AS (SELECT video_id, unnest([0, 3, 6]) AS frame_idx, bh FROM v)
+SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       false AS decoded_real,
+       substring(bh, frame_idx * 16 + 1, 16) AS frame_hex
+FROM f
 """,
         "q_multimodal_meta": """
 SELECT doc_id,

@@ -99,18 +99,66 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
 
 
-def frame_sample(video: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB.
+FRAME_SCHEMA = (
+    "video_id string, frame_idx long, decoded_real boolean, frame_bytes binary"
+)
 
-    Video codecs are unavailable in this environment; the operator raises
-    until a decoder is provided. The signature/contract: input
-    (video_id, bytes, fmt, n_frames), output one row per sampled frame
-    (video_id, frame_idx, frame_bytes).
+
+def _default_frame_decoder(data: bytes, fmt: str, n_frames: int):
+    """Codec hook. Real video codecs are absent from this container, so
+    the default decoder yields DETERMINISTIC FAKE frames — equal byte
+    slices of the blob (content-faithful, reproducible) marked
+    decoded_real=False. Supply a real decoder (same signature: yields
+    (frame_idx, bytes) per frame) to decode actual video."""
+    if not data or n_frames <= 0:
+        return
+    step = max(len(data) // n_frames, 1)
+    for idx in range(n_frames):
+        lo = min(idx * step, len(data))
+        hi = min(lo + step, len(data))
+        yield idx, data[lo:hi]
+
+
+def frame_sample(
+    video: DataFrame, every_n: int = 30, decode_fn=_default_frame_decoder
+) -> DataFrame:
+    """Video frame sampling: one output row per SAMPLED frame (every
+    ``every_n``-th), map-only fan-out via mapInPandas.
+
+    Input (video_id, bytes, fmt, n_frames); output
+    (video_id, frame_idx, decoded_real, frame_bytes). The decode step is
+    pluggable (``decode_fn``); the default is a deterministic fake (no
+    codecs in this container, decoded_real=False) so the Spark plumbing —
+    schema, Arrow batch shape, fan-out row explosion, partitioning — is
+    real and tested either way.
     """
-    raise NotImplementedError(
-        "video decoding requires a codec library not present in this "
-        "container; supply a decode_fn via a custom mapInPandas"
-    )
+    real = decode_fn is not _default_frame_decoder
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, reals, frames = [], [], [], []
+            for r in pdf.itertuples():
+                data = bytes(r.bytes) if r.bytes is not None else b""
+                for idx, frame in decode_fn(data, str(r.fmt), int(r.n_frames)):
+                    if idx % every_n:
+                        continue
+                    ids.append(r.video_id)
+                    idxs.append(idx)
+                    reals.append(real)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "video_id": ids,
+                    "frame_idx": idxs,
+                    "decoded_real": reals,
+                    "frame_bytes": frames,
+                }
+            )
+
+    cols = ["video_id", "bytes", "fmt", "n_frames"]
+    return video.select(*cols).mapInPandas(run, FRAME_SCHEMA)
 
 
 def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:

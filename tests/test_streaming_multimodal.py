@@ -82,11 +82,32 @@ def test_fake_decode_is_deterministic():
     assert a1.shape == (8, 8, 3)
 
 
-def test_frame_sample_stub(spark):
+def test_frame_sample_plumbing(spark):
+    """Frame sampling fan-out: every_n selection, deterministic fake
+    decoder slices the blob, pluggable real decoder marks decoded_real."""
     from kenlm_spark.operators.multimodal import frame_sample
 
-    with pytest.raises(NotImplementedError):
-        frame_sample(None)
+    blob = bytes(range(64))
+    df = spark.createDataFrame(
+        [("v1", bytearray(blob), "fake", 8), ("v2", None, "fake", 8)],
+        "video_id string, bytes binary, fmt string, n_frames int",
+    )
+    rows = {
+        (r["video_id"], r["frame_idx"]): r
+        for r in frame_sample(df, every_n=3).collect()
+    }
+    # v2 has no bytes -> no frames; v1 yields frames 0, 3, 6 of 8
+    assert set(rows) == {("v1", 0), ("v1", 3), ("v1", 6)}
+    assert bytes(rows[("v1", 0)]["frame_bytes"]) == blob[0:8]
+    assert bytes(rows[("v1", 3)]["frame_bytes"]) == blob[24:32]
+    assert not rows[("v1", 0)]["decoded_real"]
+
+    def real_decoder(data, fmt, n_frames):
+        yield 0, b"decoded"
+
+    out = frame_sample(df, every_n=1, decode_fn=real_decoder).collect()
+    assert all(r["decoded_real"] for r in out)
+    assert len(out) == 2  # one frame per video, incl. the empty-bytes one
 
 
 def test_binary_meta(spark):
