@@ -115,9 +115,12 @@ def score_with_join(
         """Vectorized over the whole Arrow batch: flatten all padded
         sequences, compute the order-n key chain K[n][j] =
         combine(K[n-1][j], flat[j-n+1]) with combine_word_hash_vec, and
-        mask positions whose context would cross a document boundary.
-        Context-suffix keys of length m at position j are gram keys of
-        order m at position j-1, so one chain matrix serves both."""
+        mask positions whose n-gram would cross a document boundary.
+
+        Emits ONE row per (end-position, order) — a context suffix of
+        length m for scoring position p is exactly the gram of order m
+        ending at p-1, so the downstream model join serves both roles
+        from the same row (no separate ctx candidates)."""
         import pandas as pd
 
         from kenlm_spark.ngram.hashing import combine_word_hash_vec
@@ -150,39 +153,19 @@ def score_with_join(
                 shifted[: n - 1] = 0
                 keys[n - 1] = combine_word_hash_vec(keys[n - 2], shifted)
 
-            scored = rel_pos >= 1  # every position except each doc's <s>
             parts = []
             for n in range(1, order + 1):
-                # gram of order n valid where ctx_len+1 >= n  (ctx_len =
-                # min(rel_pos, order-1))
-                g_mask = scored & (np.minimum(rel_pos, order - 1) + 1 >= n)
-                if g_mask.any():
+                # the n-gram ending at j exists iff it fits in the doc
+                mask = rel_pos >= n - 1
+                if mask.any():
                     parts.append(
                         pd.DataFrame(
                             {
-                                "doc_id": doc_of[g_mask],
-                                "pos": rel_pos[g_mask],
+                                "doc_id": doc_of[mask],
+                                "pos": rel_pos[mask],
                                 "n": n,
-                                "is_gram": True,
-                                "key": keys[n - 1][g_mask].view(np.int64),
-                                "wid": flat[g_mask].view(np.int64),
-                            }
-                        )
-                    )
-                # ctx suffix of length n at position j = gram of order n
-                # ending at j-1; valid where ctx_len >= n
-                c_mask = scored & (np.minimum(rel_pos, order - 1) >= n)
-                if c_mask.any():
-                    prev = np.flatnonzero(c_mask) - 1
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": doc_of[c_mask],
-                                "pos": rel_pos[c_mask],
-                                "n": n,
-                                "is_gram": False,
-                                "key": keys[n - 1][prev].view(np.int64),
-                                "wid": flat[c_mask].view(np.int64),
+                                "key": keys[n - 1][mask].view(np.int64),
+                                "wid": flat[mask].view(np.int64),
                             }
                         )
                     )
@@ -190,35 +173,68 @@ def score_with_join(
                 yield pd.concat(parts, ignore_index=True)
 
     cand = seqs.mapInPandas(
-        gen_keys,
-        "doc_id long, pos int, n int, is_gram boolean, key long, wid long",
+        gen_keys, "doc_id long, pos int, n int, key long, wid long"
     )
 
-    hits = cand.join(model_df, ["n", "key"], "left")
-    grams = (
-        hits.filter(F.col("is_gram") & F.col("prob").isNotNull())
-        .groupBy("doc_id", "pos")
-        .agg(
-            F.max_by("prob", "n").alias("match_prob"),
-            F.max("n").alias("match_len"),
-            F.first("wid").alias("wid"),
+    # One inner equi-join (the scale step); every scored position keeps at
+    # least its unigram row because word ids always hit the n=1 table.
+    hits = cand.join(model_df, ["n", "key"])
+
+    # Each joined row plays two roles: the gram match for its own end
+    # position, and (shifted by one) a context-suffix backoff source for
+    # the next position. JVM-side explode, then ONE groupBy reassembles a
+    # position from its <= 2*order-1 rows with small-array HOF logic.
+    roles = F.array(
+        F.struct(
+            F.col("pos").alias("sp"), F.lit(True).alias("g"),
+            "n", "prob", "backoff", "wid",
+        ),
+        F.struct(
+            (F.col("pos") + 1).alias("sp"), F.lit(False).alias("g"),
+            "n", "prob", "backoff", "wid",
+        ),
+    )
+    rows = (
+        hits.select("doc_id", F.explode(roles).alias("r"))
+        .select("doc_id", "r.sp", "r.g", "r.n", "r.prob", "r.backoff", "r.wid")
+        .filter(
+            (F.col("g") & (F.col("sp") >= 1))
+            | (~F.col("g") & (F.col("n") <= order - 1))
         )
     )
-    charges = (
-        hits.filter(~F.col("is_gram") & F.col("backoff").isNotNull())
-        .select("doc_id", "pos", F.col("n").alias("m"), "backoff")
-        .join(grams.select("doc_id", "pos", "match_len"), ["doc_id", "pos"])
-        .filter(F.col("m") >= F.col("match_len"))
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("backoff").alias("charge"))
-    )
-    token_scores = grams.join(charges, ["doc_id", "pos"], "left").select(
-        "doc_id",
-        "pos",
-        (F.col("match_prob") + F.coalesce(F.col("charge"), F.lit(0.0))).alias(
-            "score"
-        ),
-        "wid",
+    # Pivot the <= 2*order-1 rows of a position into fixed columns with
+    # conditional aggregates (p_n = gram prob at order n, c_m = ctx
+    # backoff of suffix length m) — a single partial-aggregatable hash agg
+    # with no array building.
+    aggs = [
+        F.max(F.when(F.col("g") & (F.col("n") == n), F.col("prob"))).alias(
+            f"p{n}"
+        )
+        for n in range(1, order + 1)
+    ] + [
+        F.max(F.when(~F.col("g") & (F.col("n") == m), F.col("backoff"))).alias(
+            f"c{m}"
+        )
+        for m in range(1, order)
+    ] + [F.max(F.when(F.col("g"), F.col("wid"))).alias("wid")]
+    agg = rows.groupBy("doc_id", "sp").agg(*aggs)
+
+    # score = p_L + Σ_{m >= L} c_m for the longest matched L — a coalesce
+    # chain from the top order down (missing suffix backoffs charge 0).
+    def charges_from(m_lo: int):
+        total = None
+        for m in range(m_lo, order):
+            c = F.coalesce(F.col(f"c{m}"), F.lit(0.0))
+            total = c if total is None else total + c
+        return total if total is not None else F.lit(0.0)
+
+    score = None
+    for n in range(order, 0, -1):
+        branch = F.col(f"p{n}") + charges_from(n)
+        score = branch if score is None else F.coalesce(score, branch)
+    token_scores = (
+        agg.filter(F.col("p1").isNotNull())  # drop ctx-only groups past end
+        .select("doc_id", score.alias("score"), "wid")
     )
     return token_scores.groupBy("doc_id").agg(
         F.sum("score").alias("log10_prob"),
