@@ -107,19 +107,70 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k_hashes: int = 16, shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig_0..sig_{K-1}): K minhash values per document."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_k)).alias("s")
+    """(id, sig_0..sig_{K-1}): K minhash values per document.
+
+    Map-only: signatures depend only on the document's own shingles, so
+    they are computed per Arrow batch in Python with a cross-document
+    shingle→hashes memo (corpus shingle vocabulary ≪ shingle count) —
+    no explode shuffle, no K min-aggregates, and exactly the same 60-bit
+    md5 integers as the DuckDB twin (the round-1 Catalyst md5+conv chain
+    evaluated 16 hashes per shingle row and dominated the bench)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    wide = _minhash_wide(df, id_col, text_col, k_hashes, shingle_k)
+    return wide.select(
+        "id", *[F.col("sigs")[i].alias(f"sig_{i}") for i in range(k_hashes)]
     )
-    hashed = sh.select(
-        "id",
-        *[
-            h60(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
-            for i in range(k_hashes)
-        ],
-    )
-    return hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"sig_{i}") for i in range(k_hashes)]
+
+
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, k_hashes: int, shingle_k: int
+) -> DataFrame:
+    """(id, sigs array<long>, sh array<string>): signatures AND distinct
+    shingles in one Python pass (the shingle set is needed again by the
+    exact-Jaccard verify; computing it once here avoids re-running the
+    Catalyst regex/transform subtree on both sides of the verify join)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    def batch(pdfs):
+        memo: dict[str, list[int]] = {}
+
+        def hashes(s: str) -> list[int]:
+            v = memo.get(s)
+            if v is None:
+                v = [
+                    int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+                    for i in range(k_hashes)
+                ]
+                memo[s] = v
+            return v
+
+        for pdf in pdfs:
+            rows = []
+            texts = pdf[text_col].fillna("").str.lower()
+            for did, text in zip(pdf[id_col], texts):
+                toks = [t for t in PY_TOKEN_RE.split(text) if t]
+                if len(toks) >= shingle_k:
+                    sh = {
+                        " ".join(toks[j : j + shingle_k])
+                        for j in range(len(toks) - shingle_k + 1)
+                    }
+                else:
+                    sh = {" ".join(toks)}
+                mins = [min(h) for h in zip(*(hashes(s) for s in sh))]
+                rows.append((did, mins, list(sh)))
+            yield pd.DataFrame(rows, columns=["id", "sigs", "sh"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        batch, "id long, sigs array<long>, sh array<string>"
     )
 
 
@@ -134,13 +185,18 @@ def minhash_lsh_pairs(
     `max_bucket` are dropped (boilerplate guard); candidates verified with
     exact shingle Jaccard.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k_hashes, shingle_k)
+    # One Python pass computes signatures + shingle sets; checkpointed so
+    # the band/bucket fan-out and the verify joins reuse the tiny
+    # materialized table instead of re-running the pass.
+    wide = _minhash_wide(df, id_col, text_col, k_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
     n_bands = k_hashes // band_size
     # One explode instead of a union of per-band selects: the signature
-    # aggregation is computed once, not once per band branch.
+    # table is scanned once, not once per band branch.
     band_structs = []
     for b in range(n_bands):
-        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        cols = [F.col("sigs")[b * band_size + j] for j in range(band_size)]
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -149,7 +205,7 @@ def minhash_lsh_pairs(
                 ).alias("bucket"),
             )
         )
-    bands = sigs.select(
+    bands = wide.select(
         "id", F.explode(F.array(*band_structs)).alias("_bb")
     ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     big = (
@@ -171,16 +227,17 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, shingle_k).alias("sh")
-    )
+    sh = wide.select("id", "sh")
     pairs = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / union
+    pairs = pairs.withColumn(
+        "_inter", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("_inter")
+    )
     return pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= jaccard_threshold)
