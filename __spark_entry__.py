@@ -609,6 +609,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(df, "doc_id", "blob")
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
+    hashes — rightmost-minimal k-gram hash per window, map-only."""
+    from kenlm_spark.operators.fingerprint import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: map-only fan-out of sampled frames
     from synthesized binary blobs (deterministic fake decoder — no codecs
@@ -817,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_lsh": q_similarity_lsh,
         "q_similarity_ivf": q_similarity_ivf,
@@ -875,6 +884,12 @@ WHERE NOT EXISTS (
     AND t.word NOT IN (SELECT word FROM v)
 )
 """
+
+
+def _fingerprint_sql() -> str:
+    from kenlm_spark.operators.fingerprint import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql()
 
 
 def _ivf_sql() -> str:
@@ -1014,6 +1029,7 @@ FROM (
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
         "q_dedup_simhash": dedup.simhash_sql(),
         "q_dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
+        "q_fingerprint_winnow": _fingerprint_sql(),
         "q_similarity_topk": sim.brute_force_topk_sql(list(range(8)), k=10),
         "q_filter_vocab_single": f"""
 WITH {_ng_cte()},

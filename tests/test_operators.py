@@ -204,6 +204,43 @@ def test_pandas_topk_matches_catalyst(spark, emb):
     assert len(sa & sb) >= len(sa) - len(qids)
 
 
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): any shared substring
+    of length >= w + k - 1 yields at least one shared fingerprint hash;
+    unrelated docs share (essentially) none."""
+    from kenlm_spark.operators.fingerprint import winnow_fingerprints
+
+    shared = "identical plagiarized passage of text"
+    rows = [
+        (1, f"intro words before {shared} and a tail"),
+        (2, f"{shared} with a completely different continuation here"),
+        (3, "nothing in common with either document at all frankly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3] & fps[2])
+
+
+def test_winnow_rolling_equals_direct(spark):
+    """The incremental rolling hash must equal the direct polynomial."""
+    import numpy as np
+
+    from kenlm_spark.operators.fingerprint import B, M, _kgram_hashes
+
+    rng = np.random.RandomState(3)
+    codes = rng.randint(32, 1000, size=50)
+    k = 5
+    rolled = _kgram_hashes(codes, k)
+    direct = [
+        sum(int(codes[p + j]) * pow(B, k - 1 - j, M) for j in range(k)) % M
+        for p in range(len(codes) - k + 1)
+    ]
+    assert rolled.tolist() == direct
+
+
 def test_filter_union_max_posting_guard(spark):
     """Stop-word skew guard: with a non-binding cap the result equals the
     exact path; with a binding cap, ultra-common words are treated as
