@@ -462,6 +462,30 @@ def q_filter_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram"))
 
 
+PHRASES = [
+    ["looking", "on"],
+    ["on", "a", "little"],
+    ["the"],
+    ["would", "consider", "higher"],
+    ["a"],
+    ["<s>", "looking"],
+    ["</s>"],
+]
+
+
+def q_filter_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: phrase filter — keep model n-grams coverable by whitelisted
+    phrases (partial phrase suffix at the left edge, whole phrases in the
+    middle, partial prefix at the right edge; lm/filter/phrase.hh). The
+    oracle is an INDEPENDENT recursive-CTE coverage DP in DuckDB."""
+    from kenlm_spark.operators.phrase_filter import phrase_filter
+
+    out = phrase_filter(_ngrams_df(spark), PHRASES)
+    return out.select(
+        F.col("order").alias("ord"), F.concat_ws(" ", "words").alias("gram")
+    )
+
+
 def q_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lm/filter count-file mode (lm/filter/count_io.hh): the filter
     operators work on COUNT tables, not just models — here the corpus's
@@ -834,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parts_supplier_revenue": q_parts_supplier_revenue,
         "q_filter_vocab_single": q_filter_vocab_single,
         "q_filter_counts": q_filter_counts,
+        "q_filter_phrase": q_filter_phrase,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
         "q_interpolate_models": q_interpolate_models,
@@ -884,6 +909,12 @@ WHERE NOT EXISTS (
     AND t.word NOT IN (SELECT word FROM v)
 )
 """
+
+
+def _filter_phrase_sql() -> str:
+    from kenlm_spark.operators.phrase_filter import phrase_filter_sql
+
+    return phrase_filter_sql(_ng_cte(), PHRASES)
 
 
 def _fingerprint_sql() -> str:
@@ -1092,6 +1123,7 @@ SELECT ord, gram, sent_id FROM qual
 UNION ALL SELECT ord, gram, sent_id FROM tagonly
 """,
         "q_filter_counts": _filter_counts_sql(),
+        "q_filter_phrase": _filter_phrase_sql(),
         "q_quantize_model": quantize_model_sql(ngram_values_cte(ARPA_PATH), bits=4),
         "q_interpolate_models": interpolate_models_sql(
             ngram_values_cte(ARPA_PATH),

@@ -62,6 +62,61 @@ def covers(words: list[str], by_first, phrase_set) -> bool:
     return reach[n]
 
 
+def phrase_filter_sql(ng_cte: str, phrases: list[list[str]]) -> str:
+    """DuckDB twin of the coverage DP (independent implementation): left
+    edge = gram prefix matching a phrase SUFFIX; middle steps consume
+    whole phrases via a recursive CTE; right edge = tail matching a
+    phrase PREFIX; plus the whole-gram-inside-one-phrase case.
+
+    ``ng_cte`` must define ``ng(ord, gram)``.
+    """
+    max_len = max(len(p) for p in phrases)
+    vals = ", ".join(
+        "([" + ", ".join("'" + w.replace("'", "''") + "'" for w in p) + "])"
+        for p in phrases
+    )
+    return f"""
+WITH RECURSIVE {ng_cte},
+grams AS (
+  SELECT ord, gram, string_split(gram, ' ') AS w FROM ng
+),
+phr(p) AS (VALUES {vals}),
+base AS (
+  SELECT g.ord, g.gram, k.k AS pos
+  FROM grams g, phr p,
+       (SELECT unnest(generate_series(1, {max_len})) AS k) k
+  WHERE k.k <= len(g.w) AND k.k <= len(p.p)
+    AND g.w[1:k.k] = p.p[len(p.p)-k.k+1:len(p.p)]
+),
+reach(ord, gram, pos) AS (
+  SELECT ord, gram, pos FROM base
+  UNION
+  SELECT r.ord, r.gram,
+         CASE WHEN r.pos + len(p.p) <= len(g.w) THEN r.pos + len(p.p)
+              ELSE len(g.w) END AS pos
+  FROM reach r
+  JOIN grams g ON g.ord = r.ord AND g.gram = r.gram, phr p
+  WHERE r.pos < len(g.w) AND (
+    (r.pos + len(p.p) <= len(g.w) AND g.w[r.pos+1:r.pos+len(p.p)] = p.p)
+    OR
+    (r.pos + len(p.p) > len(g.w)
+     AND g.w[r.pos+1:len(g.w)] = p.p[1:len(g.w)-r.pos])
+  )
+),
+inside AS (
+  SELECT g.ord, g.gram FROM grams g, phr p,
+       (SELECT unnest(generate_series(0, {max_len})) AS o) o
+  WHERE len(g.w) <= len(p.p) AND o.o <= len(p.p) - len(g.w)
+    AND p.p[o.o+1:o.o+len(g.w)] = g.w
+)
+SELECT ord, gram FROM inside
+UNION
+SELECT DISTINCT r.ord, r.gram
+FROM reach r JOIN grams g ON g.ord = r.ord AND g.gram = r.gram
+WHERE r.pos = len(g.w)
+"""
+
+
 def phrase_filter(
     ngrams: DataFrame, phrases: list[list[str]], words_col: str = "words"
 ) -> DataFrame:

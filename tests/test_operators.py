@@ -204,6 +204,36 @@ def test_pandas_topk_matches_catalyst(spark, emb):
     assert len(sa & sb) >= len(sa) - len(qids)
 
 
+def test_phrase_filter_sql_parity_randomized():
+    """The recursive-CTE coverage DP (oracle) and the Python DP are
+    independent implementations — they must agree on random word tuples."""
+    import duckdb
+
+    from kenlm_spark.operators.phrase_filter import (
+        _build_index,
+        covers,
+        phrase_filter_sql,
+    )
+
+    phrases = [["x", "a", "b"], ["c", "y"], ["b"], ["y", "y", "z", "a"]]
+    rng = np.random.RandomState(11)
+    alphabet = list("abcxyz")
+    tuples = [
+        tuple(rng.choice(alphabet, size=rng.randint(1, 6)))
+        for _ in range(200)
+    ]
+    grams = sorted({" ".join(t) for t in tuples})
+    ng = "ng(ord, gram) AS (VALUES " + ", ".join(
+        f"(1, '{g}')" for g in grams
+    ) + ")"
+    kept_sql = {
+        r[1] for r in duckdb.sql(phrase_filter_sql(ng, phrases)).fetchall()
+    }
+    by_first, pset = _build_index(phrases)
+    kept_py = {g for g in grams if covers(g.split(" "), by_first, pset)}
+    assert kept_sql == kept_py
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """Winnowing guarantee (Schleimer et al. 2003): any shared substring
     of length >= w + k - 1 yields at least one shared fingerprint hash;
