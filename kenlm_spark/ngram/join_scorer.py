@@ -89,10 +89,13 @@ def score_with_join(
     order: int,
     bos_id: int,
     eos_id: int,
+    id_type: str = "long",
 ) -> DataFrame:
     """(doc_id, log10_prob, oov_count, n_tokens) with KenLM semantics,
-    computed without any broadcast of model state."""
+    computed without any broadcast of model state. ``id_type`` is the
+    Spark type of the doc_id column (e.g. "string" for image ids)."""
     spark = docs.sparkSession
+    id_np_dtype = np.int64 if id_type == "long" else object
 
     toks = docs.select(
         "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "word")
@@ -131,7 +134,7 @@ def score_with_join(
             )
             total = int(lens.sum())
             flat = np.empty(total, dtype=np.uint64)
-            doc_of = np.empty(total, dtype=np.int64)
+            doc_of = np.empty(total, dtype=id_np_dtype)
             rel_pos = np.empty(total, dtype=np.int64)
             off = 0
             for doc_id, id_list in zip(pdf["doc_id"], pdf["ids"]):
@@ -173,7 +176,7 @@ def score_with_join(
                 yield pd.concat(parts, ignore_index=True)
 
     cand = seqs.mapInPandas(
-        gen_keys, "doc_id long, pos int, n int, key long, wid long"
+        gen_keys, f"doc_id {id_type}, pos int, n int, key long, wid long"
     )
 
     # One inner equi-join (the scale step); every scored position keeps at

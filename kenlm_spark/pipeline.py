@@ -70,6 +70,13 @@ class FilterConfig:
     #: full-data shuffle.
     salt_buckets: int = 0
     length_buckets: tuple[int, ...] = (8, 32, 128, 512)
+    #: "broadcast" ships the model to executors (fastest; bounded by the
+    #: driver/broadcast ceiling). "join" keeps the model DISTRIBUTED as a
+    #: tall (n, key, prob, backoff) table and scores via equi-joins
+    #: (kenlm_spark.ngram.join_scorer) — the escape hatch when the
+    #: estimated model outgrows broadcast (100 TB-corpus n-gram counts).
+    #: Identical scores (bit-parity-tested).
+    scorer_mode: str = "broadcast"
 
 
 class QualityFilterPipeline:
@@ -78,9 +85,50 @@ class QualityFilterPipeline:
     ) -> None:
         self.spark = spark
         self.config = config or FilterConfig()
-        self.scorer = SparkNGramScorer(
-            spark, model, stupid_backoff=self.config.stupid_backoff
+        if self.config.scorer_mode == "join":
+            # In production the model tables live in parquet, bucketed by
+            # key, and are read here instead of exported from a loaded
+            # model (which would defeat the no-broadcast purpose).
+            from kenlm_spark.ngram.join_scorer import model_table, vocab_table
+
+            assert not self.config.stupid_backoff, (
+                "join scorer implements learned-backoff semantics only"
+            )
+            self._join_model = (
+                model_table(spark, model),
+                vocab_table(spark, model),
+                model.order,
+                model.bos_id,
+                model.eos_id,
+            )
+            self.scorer = None
+        else:
+            self.scorer = SparkNGramScorer(
+                spark, model, stupid_backoff=self.config.stupid_backoff
+            )
+
+    def _with_join_scores(self, df: DataFrame, text_col: str) -> DataFrame:
+        from kenlm_spark.ngram.join_scorer import score_with_join
+
+        model_df, vocab_df, order, bos, eos = self._join_model
+        docs = df.select(
+            F.col("image_id").alias("doc_id"), F.col(text_col).alias("text")
         )
+        scored = score_with_join(
+            docs, "text", model_df, vocab_df, order, bos, eos,
+            id_type=df.schema["image_id"].dataType.simpleString(),
+        )
+        scored = scored.select(
+            F.col("doc_id").alias("image_id"),
+            F.col("log10_prob").alias("lm_log10_prob"),
+            F.pow(
+                F.lit(10.0),
+                -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)),
+            ).alias("lm_perplexity"),
+            F.col("oov_count").alias("lm_oov_count"),
+            F.col("n_tokens").alias("lm_n_tokens"),
+        )
+        return df.join(scored, "image_id")
 
     # ------------------------------------------------------------- stages
 
@@ -108,7 +156,10 @@ class QualityFilterPipeline:
         )
         lang_fn = cfg.langid_expr or lang_expr
         df = df.withColumn("lang_pred", lang_fn(F.col(text_col)))
-        df = self.scorer.with_scores(df, text_col, prefix="lm_")
+        if cfg.scorer_mode == "join":
+            df = self._with_join_scores(df, text_col)
+        else:
+            df = self.scorer.with_scores(df, text_col, prefix="lm_")
         metrics = quality_metric_exprs(text_col, cfg.quality)
         for name, col in metrics.items():
             df = df.withColumn(name, col)

@@ -37,6 +37,29 @@ def oracle_rows(arpa_model):
     }
 
 
+def test_join_scorer_mode_matches_broadcast(spark, arpa_model, result_rows):
+    """FilterConfig(scorer_mode='join') — the no-broadcast escape hatch —
+    must reproduce the broadcast pipeline's scores and decisions."""
+    images = generate_images(spark, n_rows=N_ROWS, seed=42)
+    pipe = QualityFilterPipeline(
+        spark, arpa_model, FilterConfig(scorer_mode="join")
+    )
+    rows = {r["image_id"]: r.asDict() for r in pipe.run(images).collect()}
+    assert len(rows) == N_ROWS
+    for iid, b in result_rows.items():
+        j = rows[iid]
+        assert j["keep"] == b["keep"], iid
+        assert j["drop_reason"] == b["drop_reason"], iid
+        assert j["lm_log10_prob"] == pytest.approx(
+            b["lm_log10_prob"], abs=1e-9
+        ), iid
+        assert j["lm_perplexity"] == pytest.approx(
+            b["lm_perplexity"], rel=1e-12
+        ), iid
+        assert j["lm_oov_count"] == b["lm_oov_count"], iid
+        assert j["scrubbed_caption"] == b["scrubbed_caption"], iid
+
+
 def test_keep_drop_f1(result_rows, oracle_rows):
     tp = fp = fn = 0
     for iid, got in result_rows.items():
