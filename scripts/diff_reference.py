@@ -121,6 +121,57 @@ def compare_chart_composition(n: int) -> tuple[int, float]:
     return checked, worst
 
 
+def pipeline_f1_vs_reference(kenlm) -> tuple[float, int]:
+    """North-rule gate with the REAL reference in the loop: run the full
+    Spark pipeline, then recompute every keep/drop decision using the
+    compiled reference's scores (same rule thresholds) and measure F1."""
+    from kenlm_spark.data import generate_images_pdf
+    from kenlm_spark.filtering.langid import py_lang
+    from kenlm_spark.ngram.arpa import load_arpa
+    from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+    from kenlm_spark.session import get_spark
+    from tests.oracle_filter import quality_pass
+
+    cfg = FilterConfig()
+    ref = kenlm.Model("tests/fixtures/test.arpa")
+
+    pdf = generate_images_pdf(n_rows=2000, seed=7)
+    spark = get_spark("diffref", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    images = spark.createDataFrame(pdf)
+    pipe = QualityFilterPipeline(
+        spark, load_arpa("tests/fixtures/test.arpa"), cfg
+    )
+    ours = {r["image_id"]: r for r in pipe.run(images).collect()}
+    spark.stop()
+
+    tp = fp = fn = tn = 0
+    for row in pdf.itertuples():
+        caption = row.caption or ""
+        toks = caption.split()
+        score = ref.score(caption)
+        n_tok = len(toks)
+        ppl = 10.0 ** (-score / (n_tok + 1))
+        oov = sum(1 for t in toks if t not in ref)
+        keep_ref = (
+            quality_pass(caption)
+            and py_lang(caption) in cfg.allowed_langs
+            and (oov / max(n_tok, 1)) <= cfg.max_oov_ratio
+            and ppl <= cfg.max_perplexity
+        )
+        keep_ours = bool(ours[row.image_id]["keep"])
+        if keep_ours and keep_ref:
+            tp += 1
+        elif keep_ours and not keep_ref:
+            fp += 1
+        elif not keep_ours and keep_ref:
+            fn += 1
+        else:
+            tn += 1
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    return f1, len(pdf)
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     kenlm = ensure_reference_module()
@@ -184,6 +235,7 @@ def main() -> int:
         )
 
     chart_checked, chart_worst = compare_chart_composition(max(n // 10, 100))
+    f1, n_docs = pipeline_f1_vs_reference(kenlm)
 
     md = [
         "# Differential test vs the COMPILED reference",
@@ -207,7 +259,15 @@ def main() -> int:
         "<unk> corners, plain + REST models, bos on/off) vs a driver over",
         f"the reference's own lm/left.hh: **{chart_checked}** sentences,",
         f"worst |Δ| = **{chart_worst:.2e}** (float32 accumulation).",
+        "",
+        "North-rule gate with the real reference in the loop: the full",
+        "Spark pipeline's keep/drop vs decisions recomputed from the",
+        f"compiled reference's scores on {n_docs} generated captions —",
+        f"**F1 = {f1:.4f}** (target >= 0.99).",
     ]
+    if f1 < 0.99:
+        print(f"F1 {f1} below target", file=sys.stderr)
+        return 1
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/DIFFREF.md", "w") as fh:
         fh.write("\n".join(md) + "\n")
