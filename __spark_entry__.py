@@ -697,6 +697,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.4, use_lsh=True, n_planes=8)
 
 
+def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised language-ID trained IN-ENGINE: char-trigram Naive Bayes
+    (fastText-shaped linear bag-of-ngrams) fit on the labeled documents
+    table by relational aggs, predicted by an equi-join + argmax — the
+    whole train→predict path oracle-checked."""
+    from kenlm_spark.filtering.langid_nb import (
+        predict_langid_nb,
+        train_langid_nb,
+    )
+
+    docs = _docs(spark, sf_dir)
+    weights, priors = train_langid_nb(docs)
+    return predict_langid_nb(docs, weights, priors)
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: predicted vs provided language histogram."""
     from kenlm_spark.filtering.langid import lang_expr
@@ -855,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": q_similarity_ivf,
         "q_dedup_embedding": q_dedup_embedding,
         "q_lang_agreement": q_lang_agreement,
+        "q_langid_nb": q_langid_nb,
         "q_parts_supplier_revenue": q_parts_supplier_revenue,
         "q_filter_vocab_single": q_filter_vocab_single,
         "q_filter_counts": q_filter_counts,
@@ -909,6 +925,12 @@ WHERE NOT EXISTS (
     AND t.word NOT IN (SELECT word FROM v)
 )
 """
+
+
+def _langid_nb_sql() -> str:
+    from kenlm_spark.filtering.langid_nb import langid_nb_sql
+
+    return langid_nb_sql()
 
 
 def _filter_phrase_sql() -> str:
@@ -1148,6 +1170,7 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
             f"SELECT lang, {lang_sql('text')} AS lang_pred, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"
         ),
+        "q_langid_nb": _langid_nb_sql(),
         "q_parts_supplier_revenue": """
 SELECT p.p_brand, n.n_name,
        round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -204,6 +204,38 @@ def test_pandas_topk_matches_catalyst(spark, emb):
     assert len(sa & sb) >= len(sa) - len(qids)
 
 
+def test_langid_nb_learns_crafted_languages(spark):
+    """On data where the label actually correlates with character
+    distributions, the in-engine NB must learn it (the sf testdata's
+    lang labels are uncorrelated with its synthetic text, so accuracy
+    there is bounded by the majority prior — this pins real learning)."""
+    from kenlm_spark.filtering.langid_nb import (
+        predict_langid_nb,
+        train_langid_nb,
+    )
+
+    rng = np.random.RandomState(5)
+    alphabets = {"aa": "abcde", "bb": "nopqr", "cc": "vwxyz"}
+    rows = []
+    i = 0
+    for lang, alpha in alphabets.items():
+        for _ in range(30):
+            words = [
+                "".join(rng.choice(list(alpha), size=rng.randint(3, 8)))
+                for _ in range(12)
+            ]
+            rows.append((i, " ".join(words), lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    weights, priors = train_langid_nb(docs)
+    pred = {
+        r["id"]: r["lang_nb"]
+        for r in predict_langid_nb(docs, weights, priors).collect()
+    }
+    correct = sum(1 for did, _, lang in rows if pred[did] == lang)
+    assert correct / len(rows) >= 0.95
+
+
 def test_phrase_filter_sql_parity_randomized():
     """The recursive-CTE coverage DP (oracle) and the Python DP are
     independent implementations — they must agree on random word tuples."""
