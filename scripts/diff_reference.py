@@ -121,6 +121,164 @@ def compare_chart_composition(n: int) -> tuple[int, float]:
     return checked, worst
 
 
+def random_arpa(rng: random.Random, path: str) -> None:
+    """A random small ARPA model: random vocab/probs/backoffs, orders 1-3,
+    prefix-context closure enforced (the reference requires every n-gram's
+    context to exist as an (n-1)-gram) but SUFFIX holes allowed — which is
+    what exercises blank hallucination (lm/search_hashed.cc:57-133)."""
+    vocab = [f"w{i}" for i in range(rng.randrange(3, 9))]
+    unis = ["<s>", "</s>"] + vocab
+    if rng.random() < 0.7:
+        unis = ["<unk>"] + unis
+
+    def p() -> float:
+        return round(-rng.uniform(0.05, 3.5), 4)
+
+    def bo() -> float:
+        return round(rng.choice([0.0, -rng.uniform(0.05, 2.0)]), 4)
+
+    uni_rows = []
+    uni_bo = {}
+    for w in unis:
+        b = bo()
+        uni_bo[w] = b
+        uni_rows.append((0.0 if w == "<s>" else p(), w, b))
+
+    bi_set = set()
+    ctx_words = [w for w in unis if w != "</s>"]
+    nxt_words = [w for w in unis if w != "<s>"]
+    for _ in range(rng.randrange(3, 16)):
+        bi_set.add((rng.choice(ctx_words), rng.choice(nxt_words)))
+    bi_rows = [(p(), a, b, bo()) for a, b in sorted(bi_set)]
+    bi_bo = {(a, b): r[3] for (a, b), r in zip(sorted(bi_set), bi_rows)}
+
+    tri_rows = []
+    if bi_set and rng.random() < 0.8:
+        bis = sorted(bi_set)
+        seen_tri = set()
+        for _ in range(rng.randrange(1, 10)):
+            a, b = rng.choice(bis)  # context must exist as a bigram
+            if b == "</s>":
+                continue
+            c = rng.choice(nxt_words)
+            if (a, b, c) in seen_tri:  # duplicate grams are malformed ARPA
+                continue
+            seen_tri.add((a, b, c))
+            tri_rows.append((p(), a, b, c))
+        tri_rows.sort()
+
+    with open(path, "w") as fh:
+        fh.write("\\data\\\n")
+        fh.write(f"ngram 1={len(uni_rows)}\n")
+        fh.write(f"ngram 2={len(bi_rows)}\n")
+        if tri_rows:
+            fh.write(f"ngram 3={len(tri_rows)}\n")
+        fh.write("\n\\1-grams:\n")
+        for pr, w, b in uni_rows:
+            fh.write(f"{pr}\t{w}\t{b}\n")
+        fh.write("\n\\2-grams:\n")
+        for pr, a, b, bb in bi_rows:
+            if tri_rows:
+                fh.write(f"{pr}\t{a} {b}\t{bb}\n")
+            else:
+                fh.write(f"{pr}\t{a} {b}\n")
+        if tri_rows:
+            fh.write("\n\\3-grams:\n")
+            for pr, a, b, c in tri_rows:
+                fh.write(f"{pr}\t{a} {b} {c}\n")
+        fh.write("\n\\end\\\n")
+
+
+def fuzz_random_models(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
+    """Random models x random sentences: our loader+scorer vs the compiled
+    reference. Exercises pruned-suffix blanks, missing <unk>, -0.0
+    conventions far beyond the fixtures."""
+    import tempfile
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    rng = random.Random(99)
+    checked, worst = 0, 0.0
+    for mi in range(n_models):
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".arpa", delete=False
+        ) as tf:
+            path = tf.name
+        random_arpa(rng, path)
+        try:
+            ref = kenlm.Model(path)
+        except OSError:
+            # the probing build refuses models where hallucinated blanks
+            # exceed its table headroom (tiny heavily-pruned models);
+            # nothing to compare against
+            os.unlink(path)
+            continue
+        ours = load_arpa(path)
+        words = [w for w in ours.vocab if w not in ("<s>", "</s>")] + ["zzz"]
+        for _ in range(n_sents):
+            sent = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(0, 9))
+            )
+            for bos, eos in ((True, True), (False, False)):
+                r = ref.score(sent, bos=bos, eos=eos)
+                o = ours.score(sent, bos=bos, eos=eos)
+                d = abs(r - o)
+                worst = max(worst, d)
+                checked += 1
+                if d > 1e-4:
+                    raise SystemExit(
+                        f"FUZZ MISMATCH model#{mi} ({path}) {sent!r} "
+                        f"bos={bos} eos={eos}: ref={r} ours={o}"
+                    )
+            for (rp, rl, ro), (op, ol, oo) in zip(
+                ref.full_scores(sent), ours.full_scores(sent)
+            ):
+                checked += 1
+                worst = max(worst, abs(rp - op))
+                if abs(rp - op) > 1e-4 or rl != ol or ro != oo:
+                    raise SystemExit(
+                        f"FUZZ FULL_SCORES MISMATCH model#{mi} ({path}) "
+                        f"{sent!r}: ref=({rp},{rl},{ro}) ours=({op},{ol},{oo})"
+                    )
+        os.unlink(path)
+    return checked, worst
+
+
+def writer_roundtrip_via_reference(kenlm) -> int:
+    """S5 writer validation with the real parser: estimate a model with
+    OUR estimator, write ARPA with OUR writer, load it with the COMPILED
+    reference, and check reference scores equal our broadcast model's."""
+    import tempfile
+
+    from kenlm_spark.estimator import estimate, to_ngram_model, write_arpa
+    from kenlm_spark.session import get_spark
+
+    spark = get_spark("diffref-writer", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model_df, _ = estimate(docs, "text", order=3)
+    rows = [r.asDict() for r in model_df.collect()]
+    ours = to_ngram_model(model_df, 3)
+    texts = [r["text"] for r in docs.select("text").limit(200).collect()]
+    spark.stop()
+
+    with tempfile.NamedTemporaryFile("w", suffix=".arpa", delete=False) as tf:
+        path = tf.name
+    write_arpa(rows, 3, path)
+    ref = kenlm.Model(path)
+    checked = 0
+    for t in texts:
+        r = ref.score(t)
+        o = ours.score(t)
+        checked += 1
+        if abs(r - o) > 1e-3:
+            raise SystemExit(
+                f"WRITER ROUNDTRIP MISMATCH {t[:60]!r}: ref={r} ours={o}"
+            )
+    os.unlink(path)
+    return checked
+
+
 def pipeline_f1_vs_reference(kenlm) -> tuple[float, int]:
     """North-rule gate with the REAL reference in the loop: run the full
     Spark pipeline, then recompute every keep/drop decision using the
@@ -235,6 +393,10 @@ def main() -> int:
         )
 
     chart_checked, chart_worst = compare_chart_composition(max(n // 10, 100))
+    fuzz_checked, fuzz_worst = fuzz_random_models(
+        kenlm, n_models=max(n // 40, 20), n_sents=40
+    )
+    writer_checked = writer_roundtrip_via_reference(kenlm)
     f1, n_docs = pipeline_f1_vs_reference(kenlm)
 
     md = [
@@ -264,6 +426,15 @@ def main() -> int:
         "Spark pipeline's keep/drop vs decisions recomputed from the",
         f"compiled reference's scores on {n_docs} generated captions —",
         f"**F1 = {f1:.4f}** (target >= 0.99).",
+        "",
+        "Fuzzing: RANDOMLY GENERATED ARPA models (suffix holes → blank",
+        "hallucination, optional <unk>, random backoffs incl. 0.0) scored",
+        "by both engines on random sentences: "
+        f"**{fuzz_checked}** checks, worst |Δ| = **{fuzz_worst:.2e}**.",
+        "",
+        "Writer round-trip: our estimator's model written by OUR ARPA",
+        "writer, parsed by the COMPILED reference, scores equal to our",
+        f"broadcast model on **{writer_checked}** real captions.",
     ]
     if f1 < 0.99:
         print(f"F1 {f1} below target", file=sys.stderr)
