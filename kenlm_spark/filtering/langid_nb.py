@@ -39,6 +39,43 @@ def _trigrams(col: Column) -> Column:
     ).otherwise(F.array(t))
 
 
+def _tri_counts(docs: DataFrame, key_col: str, text_col: str, key_type: str) -> DataFrame:
+    """(key, tri, cnt): per-row character-trigram counts in ONE Arrow pass
+    (map-only). The Catalyst transform(sequence → substr) variant
+    allocated a per-row index array and 3M substrings and dominated the
+    bench (the HOF-allocation lesson); a Counter per row is ~10x cheaper
+    and produces identical integers, so the SQL twin is unaffected."""
+    import pandas as pd
+
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    def run(pdfs):
+        from collections import Counter
+
+        for pdf in pdfs:
+            keys_out, tri_out, cnt_out = [], [], []
+            texts = pdf[text_col].fillna("").str.lower()
+            for key, raw in zip(pdf[key_col], texts):
+                # exactly norm_text: collapse delimiter runs, NO strip
+                t = PY_TOKEN_RE.sub(" ", raw)
+                grams = (
+                    [t[i : i + 3] for i in range(len(t) - 2)]
+                    if len(t) >= 3
+                    else [t]
+                )
+                for tri, cnt in Counter(grams).items():
+                    keys_out.append(key)
+                    tri_out.append(tri)
+                    cnt_out.append(cnt)
+            yield pd.DataFrame(
+                {"key": keys_out, "tri": tri_out, "cnt": cnt_out}
+            )
+
+    return docs.select(key_col, text_col).mapInPandas(
+        run, f"key {key_type}, tri string, cnt long"
+    )
+
+
 def train_langid_nb(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     label_col: str = "lang",
@@ -50,16 +87,13 @@ def train_langid_nb(
       (charged per in-vocabulary trigram that a language did NOT see —
       folded in at inference as n_in_vocab·penalty over the seen sum).
     """
-    tri = docs.select(
-        F.col(label_col).alias("lang"),
-        F.explode(_trigrams(F.col(text_col))).alias("tri"),
-    )
     # checkpoint: counts (tiny — distinct (lang, trigram) pairs) feeds the
     # vocab-size count, totals, weights, and priors; without the barrier
-    # each consumer re-runs the full corpus explode+groupBy
+    # each consumer re-runs the full corpus pass
     counts = (
-        tri.groupBy("lang", "tri")
-        .agg(F.count("*").alias("c"))
+        _tri_counts(docs, label_col, text_col, "string")
+        .groupBy(F.col("key").alias("lang"), "tri")
+        .agg(F.sum("cnt").alias("c"))
         .localCheckpoint(eager=True)
     )
     vocab_size = counts.select("tri").distinct().count()
@@ -93,16 +127,11 @@ def predict_langid_nb(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """(id, lang_nb): argmax_lang [prior + Σ_seen w + n_in_vocab·penalty]."""
-    # distinct trigrams per doc with multiplicities: the weights join then
-    # carries one row per (doc, DISTINCT trigram, lang) instead of one per
-    # trigram occurrence — typically 2-3x less join traffic
-    dtri = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(_trigrams(F.col(text_col))).alias("tri"),
-        )
-        .groupBy("id", "tri")
-        .agg(F.count("*").alias("cnt"))
+    # distinct trigrams per doc with multiplicities in one map-only pass;
+    # the weights join then carries one row per (doc, DISTINCT trigram,
+    # lang) instead of one per occurrence
+    dtri = _tri_counts(docs, id_col, text_col, "long").withColumnRenamed(
+        "key", "id"
     )
     vocab = weights.select("tri").distinct()
     in_vocab = dtri.join(vocab, "tri")  # trigrams outside V affect no lang
