@@ -259,3 +259,40 @@ def test_model_table_parquet_roundtrip(estimated, spark, tmp_path):
     m2 = to_ngram_model(re, 3)
     for s in ["the data table", "row value part", "unseen zzz tokens"]:
         assert m2.score(s) == pytest.approx(m1.score(s), abs=1e-6)
+
+
+def test_order5_estimation_matches_duckdb(spark, sf_dir):
+    """Estimation at the reference's DEFAULT order (5) matches the
+    independent DuckDB estimator on a deterministic 100-doc slice —
+    discounts, gammas, interpolation, and backoffs at all 5 orders."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kenlm_spark import estimator_sql as est_sql
+    from kenlm_spark.estimator import estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    model, _ = estimate(docs, "text", order=5)
+    got = sorted(
+        (r["ord"], r["gram"], r["p"], r["b"])
+        for r in model.select(
+            F.col("order").alias("ord"),
+            F.concat_ws(" ", "words").alias("gram"),
+            F.round("log10_prob", 6).alias("p"),
+            F.round("log10_backoff", 6).alias("b"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') WHERE doc_id < 100"
+    )
+    want = sorted(
+        (a, g, round(p, 6), round(b, 6))
+        for a, g, p, b in con.sql(
+            est_sql.model_sql("documents", "text", 5)
+        ).fetchall()
+    )
+    assert got == want
