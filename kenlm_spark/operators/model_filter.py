@@ -107,8 +107,11 @@ def filter_multiple(
         ex = ex.join(req, ["order", "words"]).drop("_n").withColumnRenamed(
             "_req", "_n"
         )
+    # join rows are unique per (gram, word, sent): ex explodes
+    # array_distinct'ed words and postings are distinct (word, sent), so a
+    # plain count equals count_distinct without the Expand two-phase agg
     hits = ex.join(postings, "word").groupBy("order", "words", "_n", "sent_id").agg(
-        F.count_distinct("word").alias("_hits")
+        F.count("*").alias("_hits")
     )
     qualified = hits.filter(F.col("_hits") == F.col("_n")).select(
         "order", "words", "sent_id"
