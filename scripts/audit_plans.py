@@ -32,6 +32,7 @@ def summarize(plan: str) -> dict:
         "hash_aggregate": plan.count("HashAggregate"),
         "exchange": plan.count("Exchange"),
         "arrow_eval_python": plan.count("ArrowEvalPython"),
+        "map_in_pandas": plan.count("MapInPandas"),
         "whole_stage_codegen": bool(re.search(r"\*\(\d+\)", plan)),
     }
 
@@ -56,6 +57,9 @@ def main() -> None:
         "q_ngram_count_3 (explode+agg)": em.q_ngram_count_3(spark, sf),
         "q_dedup_minhash (LSH join)": em.q_dedup_minhash(spark, sf),
         "q_similarity_topk (broadcast + window)": em.q_similarity_topk(spark, sf),
+        "q_similarity_lsh (single-pass numpy LSH)": em.q_similarity_lsh(spark, sf),
+        "q_dedup_embedding (bucketed LSH + verify)": em.q_dedup_embedding(spark, sf),
+        "q_score_captions_join (no-broadcast scorer)": em.q_score_captions_join(spark, sf),
     }
 
     lines = [
