@@ -99,6 +99,57 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    images: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Deterministic block-mean resize of decoded images to out_w x out_h,
+    returning raw RGB24 bytes — map-only mapInPandas over binary columns.
+
+    Input (image_id, bytes, w, h, fmt); output (image_id, decoded_real,
+    w, h, bytes) with the SAME schema shape, so resized tables compose
+    with every other image operator. Uses the shared decode hook
+    (_decode_one): raw RGB is decoded for real; codec formats fall back
+    to the deterministic fake unless PIL is available.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img, real = _decode_one(
+                    bytes(r.bytes) if r.bytes is not None else None,
+                    int(r.w), int(r.h), str(r.fmt),
+                )
+                h, w = img.shape[:2]
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, w, out_w + 1).astype(int)
+                out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        block = img[
+                            ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1),
+                        ]
+                        out[i, j] = block.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "decoded_real": real,
+                        "w": out_w,
+                        "h": out_h,
+                        "bytes": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(
+        run,
+        "image_id string, decoded_real boolean, w int, h int, bytes binary",
+    )
+
+
 FRAME_SCHEMA = (
     "video_id string, frame_idx long, decoded_real boolean, frame_bytes binary"
 )

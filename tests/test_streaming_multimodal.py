@@ -110,6 +110,39 @@ def test_frame_sample_plumbing(spark):
     assert len(out) == 2  # one frame per video, incl. the empty-bytes one
 
 
+def test_resize_images_block_mean(spark):
+    """Deterministic block-mean resize on real raw RGB: a 4x4 image of
+    four solid 2x2 quadrants resized to 2x2 must give the quadrant
+    colors exactly, round-trippable through the raw decode path."""
+    import numpy as np
+
+    from kenlm_spark.operators.multimodal import resize_images
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = (255, 0, 0)
+    img[:2, 2:] = (0, 255, 0)
+    img[2:, :2] = (0, 0, 255)
+    img[2:, 2:] = (10, 20, 30)
+    df = spark.createDataFrame(
+        [("a", bytearray(img.tobytes()), 4, 4, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    assert row["decoded_real"] and row["w"] == 2 and row["h"] == 2
+    out = np.frombuffer(bytes(row["bytes"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[0, 1]) == (0, 255, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+    assert tuple(out[1, 1]) == (10, 20, 30)
+    # resized output composes with the feature extractor (same schema shape)
+    from kenlm_spark.operators.multimodal import image_features
+
+    feat = image_features(
+        resize_images(df, 2, 2).withColumn("fmt", F.lit("raw"))
+    ).collect()[0]
+    assert feat["dec_w"] == 2 and feat["decoded_real"]
+
+
 def test_binary_meta(spark):
     from kenlm_spark.operators.multimodal import binary_meta
 
