@@ -164,12 +164,24 @@ def predict_langid_nb(
         .filter(F.col("rn") == 1)
         .select("id", F.col("lang").alias("lang_nb"))
     )
-    # docs with zero in-vocab trigrams: most frequent language (prior)
-    fallback = priors.orderBy(F.desc("logp"), F.asc("lang")).first()["lang"]
+    # docs with zero in-vocab trigrams: most frequent language (prior).
+    # Kept action-free at compose time: the 1-row top-prior is broadcast
+    # left-joined on a constant key instead of collected eagerly; an empty
+    # training set degrades to the sentinel "und" rather than crashing.
+    top_prior = (
+        priors.orderBy(F.desc("logp"), F.asc("lang"))
+        .limit(1)
+        .select(F.lit(1).alias("_k"), F.col("lang").alias("_fallback"))
+    )
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(best, "id", "left")
-        .select("id", F.coalesce("lang_nb", F.lit(fallback)).alias("lang_nb"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(top_prior), "_k", "left")
+        .select(
+            "id",
+            F.coalesce("lang_nb", "_fallback", F.lit("und")).alias("lang_nb"),
+        )
     )
 
 

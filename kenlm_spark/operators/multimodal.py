@@ -49,19 +49,33 @@ def _decode_one(data: bytes, w: int, h: int, fmt: str):
     return rng.integers(0, 256, size=(max(h, 1), max(w, 1), 3), dtype=np.uint8), False
 
 
+def _block_sums(arr: np.ndarray, out_h: int, out_w: int):
+    """Vectorized block sums + pixel counts for block-mean downsampling.
+
+    One ``np.add.reduceat`` per axis replaces the per-block Python loop
+    (~out_h*out_w iterations per image). Edge semantics match the loop it
+    replaced: a zero-height/width block (upsampling) falls back to the
+    single row/column at its start index, and sums of integer-valued
+    float64 inputs are exact, so downstream means are bit-identical to the
+    loop version.
+    """
+    h, w = arr.shape[:2]
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    yi = np.minimum(ys[:-1], h - 1)
+    xi = np.minimum(xs[:-1], w - 1)
+    s = np.add.reduceat(arr.astype(np.float64), yi, axis=0)
+    s = np.add.reduceat(s, xi, axis=1)
+    cnt = (
+        np.maximum(np.diff(ys), 1)[:, None] * np.maximum(np.diff(xs), 1)[None, :]
+    ).astype(np.float64)
+    return s, cnt
+
+
 def _thumb(img: np.ndarray, side: int = 4) -> np.ndarray:
     """Block-mean downsample to side x side grayscale."""
-    h, w = img.shape[:2]
-    ys = np.linspace(0, h, side + 1).astype(int)
-    xs = np.linspace(0, w, side + 1).astype(int)
-    gray = img.mean(axis=2)
-    out = np.empty((side, side))
-    for i in range(side):
-        for j in range(side):
-            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
-                         xs[j] : max(xs[j + 1], xs[j] + 1)]
-            out[i, j] = block.mean()
-    return out.ravel()
+    s, cnt = _block_sums(img.mean(axis=2), side, side)
+    return (s / cnt).ravel()
 
 
 def image_features(images: DataFrame) -> DataFrame:
@@ -121,17 +135,8 @@ def resize_images(
                     bytes(r.bytes) if r.bytes is not None else None,
                     int(r.w), int(r.h), str(r.fmt),
                 )
-                h, w = img.shape[:2]
-                ys = np.linspace(0, h, out_h + 1).astype(int)
-                xs = np.linspace(0, w, out_w + 1).astype(int)
-                out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-                for i in range(out_h):
-                    for j in range(out_w):
-                        block = img[
-                            ys[i] : max(ys[i + 1], ys[i] + 1),
-                            xs[j] : max(xs[j + 1], xs[j] + 1),
-                        ]
-                        out[i, j] = block.reshape(-1, 3).mean(axis=0)
+                s, cnt = _block_sums(img, out_h, out_w)
+                out = (s / cnt[:, :, None]).astype(np.uint8)
                 rows.append(
                     {
                         "image_id": r.image_id,

@@ -220,25 +220,28 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = True,
+    use_lsh: bool = False,
     n_planes: int = 16,
     n_tables: int = 8,
     max_bucket: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t).
 
-    ``use_lsh`` (the default, and the scale path) generates candidates from
-    multi-table sign-LSH buckets — then verifies exactly; buckets larger
-    than ``max_bucket`` are dropped (boilerplate / zero-vector guard, same
-    contract as the MinHash ``max_bucket``). Recall: P(pair surfaces) =
+    Return contract: with the default ``use_lsh=False`` the result is the
+    EXACT pair set (every pair with cosine >= threshold), computed O(n²) —
+    correct at any threshold but only viable at tiny N. ``use_lsh=True``
+    is the scale path and an explicit trade-off opt-in: candidates come
+    from multi-table sign-LSH buckets — then verified exactly — so the
+    result is a SUBSET of the exact pairs. Recall: P(pair surfaces) =
     1-(1-(1-θ/π)^planes)^tables for angle θ — with the 16-plane default,
     ≈0.8 at cosine 0.95 and →1 as cosine→1, while random pairs collide at
     ~2^-16 per table, which is what keeps buckets small (and candidate
     generation near-linear) as the corpus grows; ``n_planes`` trades recall
-    at looser thresholds against bucket size. Exact mode (``use_lsh=False``)
-    is the O(n²) tiny-N baseline. Deterministic md5 hyperplanes make the
-    LSH path itself oracle-checkable
-    (``embedding_near_dups_sql(use_lsh=True)``).
+    at looser thresholds against bucket size, and buckets larger than
+    ``max_bucket`` are dropped (boilerplate / zero-vector guard, same
+    contract as the MinHash ``max_bucket`` — dense clusters beyond it are
+    silently skipped). Deterministic md5 hyperplanes make the LSH path
+    itself oracle-checkable (``embedding_near_dups_sql(use_lsh=True)``).
     """
     if not use_lsh:
         dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
@@ -355,7 +358,7 @@ def embedding_near_dups_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = True,
+    use_lsh: bool = False,
     n_planes: int = 16,
     n_tables: int = 8,
     max_bucket: int = 2000,

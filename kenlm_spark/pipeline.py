@@ -91,9 +91,10 @@ class QualityFilterPipeline:
             # model (which would defeat the no-broadcast purpose).
             from kenlm_spark.ngram.join_scorer import model_table, vocab_table
 
-            assert not self.config.stupid_backoff, (
-                "join scorer implements learned-backoff semantics only"
-            )
+            if self.config.stupid_backoff:
+                raise ValueError(
+                    "join scorer implements learned-backoff semantics only"
+                )
             self._join_model = (
                 model_table(spark, model),
                 vocab_table(spark, model),

@@ -143,6 +143,54 @@ def test_resize_images_block_mean(spark):
     assert feat["dec_w"] == 2 and feat["decoded_real"]
 
 
+def test_block_sums_matches_loop_reference():
+    """The reduceat block-mean must be bit-identical to the per-block loop
+    it replaced, on a real 256x256 -> 64x64 resize (micro-bench size) and
+    on a ragged 10x7 -> 3x4 (unequal block edges), including timing the
+    vectorized path so a loop regression is visible."""
+    import time
+
+    import numpy as np
+
+    from kenlm_spark.operators.multimodal import _block_sums
+
+    def loop_means(img, out_h, out_w):
+        h, w = img.shape[:2]
+        ys = np.linspace(0, h, out_h + 1).astype(int)
+        xs = np.linspace(0, w, out_w + 1).astype(int)
+        out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+        for i in range(out_h):
+            for j in range(out_w):
+                block = img[
+                    ys[i] : max(ys[i + 1], ys[i] + 1),
+                    xs[j] : max(xs[j + 1], xs[j] + 1),
+                ]
+                out[i, j] = block.reshape(-1, 3).mean(axis=0)
+        return out
+
+    rng = np.random.default_rng(7)
+    for shape, out_hw in [((256, 256, 3), (64, 64)), ((10, 7, 3), (3, 4))]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        t0 = time.perf_counter()
+        s, cnt = _block_sums(img, *out_hw)
+        fast = (s / cnt[:, :, None]).astype(np.uint8)
+        vec_t = time.perf_counter() - t0
+        assert np.array_equal(fast, loop_means(img, *out_hw))
+        assert vec_t < 0.1  # 256x256 resize in sub-100ms (loop took ~50ms+)
+
+
+def test_langid_nb_empty_train_is_lazy(spark):
+    """predict_langid_nb must not run a Spark action at compose time and
+    must degrade to 'und' (not crash) when the training set is empty."""
+    from kenlm_spark.filtering.langid_nb import predict_langid_nb, train_langid_nb
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    weights, priors = train_langid_nb(empty, "doc_id", "text", "lang")
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = predict_langid_nb(docs, weights, priors, "doc_id", "text")  # no action
+    assert out.collect()[0]["lang_nb"] == "und"
+
+
 def test_binary_meta(spark):
     from kenlm_spark.operators.multimodal import binary_meta
 
