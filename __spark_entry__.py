@@ -51,14 +51,22 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: estimate a KN model from the corpus itself (lmplz path),
-    broadcast it, and run the full quality-filter pipeline with it."""
-    from kenlm_spark.estimator import estimate, to_ngram_model
+    """Flagship: estimate a KN model from the corpus itself (lmplz path)
+    and run the full quality-filter pipeline on it COLLECT-FREE — the
+    estimated model goes straight to distributed (n, key, prob, backoff) +
+    vocab tables (estimator.export_model_tables) and captions are scored
+    by equi-join (ngram.join_scorer), so no model state ever materializes
+    on the driver or in a broadcast. This is the same plan that runs at
+    100 TB; to_ngram_model (collect + broadcast) remains the fast path
+    for models that fit (q_keep_drop / q_score_captions)."""
+    from kenlm_spark.estimator import estimate, export_model_tables
     from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
 
     docs = _docs(spark, "/root/testdata/sf0.001")
     model_df, _ = estimate(docs, "text", order=3)
-    model = to_ngram_model(model_df, 3)
+    tall, vocab = export_model_tables(
+        model_df.localCheckpoint(eager=True), 3
+    )
     images = docs.select(
         F.col("doc_id").cast("string").alias("image_id"),
         F.lit(None).cast("binary").alias("bytes"),
@@ -68,7 +76,9 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text").alias("caption"),
         F.col("doc_id").alias("phash"),
     )
-    pipe = QualityFilterPipeline(spark, model, FilterConfig())
+    pipe = QualityFilterPipeline.from_model_tables(
+        spark, tall, vocab, 3, FilterConfig()
+    )
     return pipe.run(images).select(
         "image_id",
         "caption",
@@ -282,6 +292,60 @@ def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         df.withColumn("lang_pred", lang_expr("text"))
         .withColumn("quality_pass", quality_pass_expr(m))
+        .withColumn("scrubbed", scrub_expr("text"))
+    )
+    avg_logp = -F.col("lm_log10_prob") / (F.col("lm_n_tokens") + F.lit(1))
+    oov_ratio = F.col("lm_oov_count").cast("double") / F.greatest(
+        F.col("lm_n_tokens"), F.lit(1)
+    )
+    reason = (
+        F.when(~F.col("quality_pass"), F.lit("quality"))
+        .when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(oov_ratio > 0.5, F.lit("oov"))
+        .when(avg_logp > 5.0, F.lit("perplexity"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "doc_id",
+        "lang_pred",
+        "quality_pass",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+        F.col("scrubbed"),
+    )
+
+
+def q_keep_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule end-to-end with the DISTRIBUTED model (no broadcast):
+    identical decisions to q_keep_drop, but perplexity comes from the
+    join scorer over the tall (n, key, prob, backoff) model table — the
+    plan that survives models too large to broadcast. Hash-matches
+    q_keep_drop's oracle."""
+    from kenlm_spark.filtering.langid import lang_expr
+    from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
+    from kenlm_spark.filtering.scrub import scrub_expr
+    from kenlm_spark.ngram.join_scorer import (
+        model_table,
+        score_with_join,
+        vocab_table,
+    )
+
+    m = _model()
+    docs = _docs(spark, sf_dir)
+    scored = score_with_join(
+        docs, "text", model_table(spark, m), vocab_table(spark, m),
+        m.order, m.bos_id, m.eos_id,
+    ).select(
+        "doc_id",
+        F.col("log10_prob").alias("lm_log10_prob"),
+        F.col("oov_count").alias("lm_oov_count"),
+        F.col("n_tokens").alias("lm_n_tokens"),
+    )
+    df = docs.join(scored, "doc_id")
+    mx = quality_metric_exprs("text")
+    df = (
+        df.withColumn("lang_pred", lang_expr("text"))
+        .withColumn("quality_pass", quality_pass_expr(mx))
         .withColumn("scrubbed", scrub_expr("text"))
     )
     avg_logp = -F.col("lm_log10_prob") / (F.col("lm_n_tokens") + F.lit(1))
@@ -852,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
         "q_keep_drop": q_keep_drop,
+        "q_keep_drop_join": q_keep_drop_join,
         "q_ngram_count_2": q_ngram_count_2,
         "q_ngram_count_3": q_ngram_count_3,
         "q_word_freq": q_word_freq,
@@ -1065,6 +1130,7 @@ FROM (
             "FROM documents"
         ),
         "q_keep_drop": keep_drop,
+        "q_keep_drop_join": keep_drop,
         "q_ngram_count_2": ngram_counts_sql("text", "documents", n=2, pad=True),
         "q_ngram_count_3": ngram_counts_sql("text", "documents", n=3, pad=True),
         "q_word_freq": (

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -396,6 +398,137 @@ def write_arpa(model_rows: list, order: int, path: str) -> None:
                     fh.write(f"{r['log10_prob']:.7f}\t{gram}\n")
             fh.write("\n")
         fh.write("\\end\\\n")
+
+
+def export_model_tables(
+    model_df: DataFrame, order: int
+) -> tuple[DataFrame, DataFrame]:
+    """Collect-free twin of ``model_table(to_ngram_model(model_df, order))``.
+
+    Converts an estimated model straight to the distributed form the join
+    scorer consumes — a tall ``(n, key, prob, backoff)`` DataFrame plus a
+    ``(word, id)`` vocab DataFrame — WITHOUT ever materializing the model
+    on the driver. This is the 100-TB path: at web-corpus scale the model
+    itself outgrows the driver, so ``estimate() → export_model_tables() →
+    write_model_tables()`` (bucketed parquet) → ``score_with_join`` is the
+    flagship route; ``to_ngram_model`` (driver collect + broadcast) stays
+    as the fast path for models that fit.
+
+    Numerics match the broadcast path exactly: probabilities and backoffs
+    round-trip through float32 (the broadcast arrays' dtype) before
+    re-widening, so join-scored and broadcast-scored captions are
+    bit-identical (parity-tested in tests/test_estimator.py).
+
+    Only valid for estimated models (full suffix/prefix closure — every
+    word of every gram has a unigram row). ARPA-loaded models go through
+    ``join_scorer.model_table``, which also carries hallucinated blanks.
+    """
+    from pyspark.sql import Window
+
+    spark = model_df.sparkSession
+
+    uni = model_df.filter(F.col("order") == 1).select(
+        F.element_at("words", 1).alias("word"),
+        F.col("log10_prob").cast("float").alias("p32"),
+        F.col("log10_backoff").cast("float").alias("b32"),
+    )
+
+    # Vocab ids: <unk>=0, the rest ranked by word order (same assignment
+    # as to_ngram_model). Distributed ranking — range-partition + local
+    # row_number + cumulative partition offsets — instead of one global
+    # single-partition window: the vocab of a 100-TB corpus is itself a
+    # big table.
+    rest = uni.filter(F.col("word") != UNK).select("word")
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    ranked = (
+        rest.repartitionByRange(n_part, "word")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy("word")
+            ),
+        )
+    )
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_c"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny (one row per partition) — single-partition window is fine
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off")
+    )
+    vocab_df = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .select("word", (F.col("_off") + F.col("_rn")).alias("id"))
+        .unionByName(
+            spark.createDataFrame([(UNK, 0)], "word string, id long")
+        )
+    )
+
+    uni_tall = uni.join(vocab_df, "word").select(
+        F.lit(1).alias("n"),
+        F.col("id").alias("key"),
+        F.col("p32").cast("double").alias("prob"),
+        F.col("b32").cast("double").alias("backoff"),
+    )
+
+    # Higher orders: word→id join per position, regroup, then one Arrow
+    # pass computes the probing-hash key chain (lm/search_hashed.hh:25-28)
+    # per gram — vectorized per gram-length inside each batch.
+    # gid must be stamped BEFORE the explode (a nondeterministic expr in
+    # the same select as a generator is evaluated per OUTPUT row).
+    hi = model_df.filter(F.col("order") >= 2).select(
+        F.monotonically_increasing_id().alias("gid"),
+        "order",
+        F.col("log10_prob").cast("float").cast("double").alias("prob"),
+        F.when(F.col("order") < order, F.col("log10_backoff"))
+        .otherwise(F.lit(0.0))
+        .cast("float")
+        .cast("double")
+        .alias("backoff"),
+        "words",
+    ).select(
+        "gid", "order", "prob", "backoff",
+        F.posexplode("words").alias("pos", "word"),
+    )
+    grams = (
+        hi.join(vocab_df, "word")
+        .groupBy("gid")
+        .agg(
+            F.first("order").alias("n"),
+            F.first("prob").alias("prob"),
+            F.first("backoff").alias("backoff"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids"),
+        )
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def key_of(ids: pd.Series) -> pd.Series:
+        from kenlm_spark.ngram.hashing import combine_word_hash_vec
+
+        out = np.zeros(len(ids), dtype=np.uint64)
+        lens = ids.str.len().to_numpy()
+        for ln in np.unique(lens):
+            sel = lens == ln
+            mat = np.array(
+                [np.asarray(x, dtype=np.uint64) for x in ids[sel]],
+                dtype=np.uint64,
+            ).reshape(int(sel.sum()), int(ln))
+            h = mat[:, -1].copy()
+            for j in range(int(ln) - 2, -1, -1):
+                h = combine_word_hash_vec(h, mat[:, j])
+            out[sel] = h
+        return pd.Series(out.view(np.int64))
+
+    hi_tall = grams.select(
+        "n", key_of("ids").alias("key"), "prob", "backoff"
+    )
+    return uni_tall.unionByName(hi_tall), vocab_df
 
 
 def to_ngram_model(model_df: DataFrame, order: int):

@@ -81,6 +81,45 @@ def vocab_table(spark: SparkSession, model: NGramModel) -> DataFrame:
     )
 
 
+def write_model_tables(
+    tall: DataFrame,
+    vocab: DataFrame,
+    name: str,
+    buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist the distributed model as BUCKETED parquet tables.
+
+    The model table is bucketed+sorted by ``(n, key)`` — the scoring
+    join's exact equi-key set, which is what lets the planner use the
+    bucketing — so every scoring join reads it in place: no Exchange
+    above the model scan, only the candidate stream shuffles to the
+    bucket layout (BENCH/BUCKETED.md, BENCH/FLAGSHIP.md). The vocab
+    table is bucketed by ``word`` for the same reason on the token→id
+    join. Written once per estimated model; at 100 TB this is the step
+    that replaces ``to_ngram_model``'s driver collect entirely.
+    """
+    w = tall.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", f"{path}/{name}_model")
+    w.bucketBy(buckets, "n", "key").sortBy("n", "key").saveAsTable(
+        f"{name}_model"
+    )
+    wv = vocab.write.mode("overwrite").format("parquet")
+    if path:
+        wv = wv.option("path", f"{path}/{name}_vocab")
+    wv.bucketBy(buckets, "word").sortBy("word").saveAsTable(f"{name}_vocab")
+
+
+def read_model_tables(
+    spark: SparkSession, name: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read back the bucketed (model, vocab) tables written by
+    :func:`write_model_tables` — bucket metadata comes from the catalog,
+    so downstream joins on ``key``/``word`` skip their model-side shuffle."""
+    return spark.table(f"{name}_model"), spark.table(f"{name}_vocab")
+
+
 def score_with_join(
     docs: DataFrame,
     text_col: str,

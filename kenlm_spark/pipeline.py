@@ -108,6 +108,50 @@ class QualityFilterPipeline:
                 spark, model, stupid_backoff=self.config.stupid_backoff
             )
 
+    @classmethod
+    def from_model_tables(
+        cls,
+        spark: SparkSession,
+        model_df: DataFrame,
+        vocab_df: DataFrame,
+        order: int,
+        config: FilterConfig | None = None,
+    ) -> "QualityFilterPipeline":
+        """Build the pipeline from DISTRIBUTED model tables — no NGramModel,
+        no driver collect, no broadcast. This is the 100-TB construction:
+        ``estimate() → estimator.export_model_tables() → [optionally
+        join_scorer.write_model_tables() for bucketed parquet] → here``.
+        The model stays a (n, key, prob, backoff) DataFrame end to end.
+
+        <s>/</s> ids are resolved with one 2-row lookup (O(1), not
+        model-sized).
+        """
+        from kenlm_spark.ngram.model import BOS, EOS
+
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.config = config or FilterConfig()
+        self.config.scorer_mode = "join"
+        if self.config.stupid_backoff:
+            raise ValueError(
+                "join scorer implements learned-backoff semantics only"
+            )
+        special = {
+            r["word"]: r["id"]
+            for r in vocab_df.filter(
+                F.col("word").isin(BOS, EOS)
+            ).collect()
+        }
+        self._join_model = (
+            model_df,
+            vocab_df,
+            order,
+            special.get(BOS, 0),
+            special.get(EOS, 0),
+        )
+        self.scorer = None
+        return self
+
     def _with_join_scores(self, df: DataFrame, text_col: str) -> DataFrame:
         from kenlm_spark.ngram.join_scorer import score_with_join
 

