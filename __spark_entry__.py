@@ -115,6 +115,28 @@ def q_score_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_captions_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 ingestion: identical scoring, but the model is loaded from the
+    reference's own ``build_binary`` output (tests/fixtures/test_probing.klm,
+    probing layout, lm/binary_format.cc:20-133) instead of the ARPA —
+    must hash-match q_score_captions' oracle exactly."""
+    from kenlm_spark.ngram.binary import load_binary
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    model = load_binary(os.path.join(REPO, "tests", "fixtures", "test_probing.klm"))
+    scorer = SparkNGramScorer(spark, model)
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.select(
+        "doc_id",
+        F.round(F.col("log10_prob"), 3).alias("log10_prob"),
+        F.round(
+            -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)), 4
+        ).alias("log10_ppl"),
+        F.col("oov_count"),
+        F.col("n_tokens"),
+    )
+
+
 def q_score_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11.6: stupid-backoff fallback scorer (fixed log10(0.4) penalty
     per skipped context order instead of learned backoffs)."""
@@ -905,6 +927,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_score_captions": q_score_captions,
+        "q_score_captions_binary": q_score_captions_binary,
         "q_score_captions_join": q_score_captions_join,
         "q_score_fragments": q_score_fragments,
         "q_score_stupid_backoff": q_score_stupid_backoff,
@@ -1075,6 +1098,7 @@ FROM s
 
     return {
         "q_score_captions": score,
+        "q_score_captions_binary": score,
         "q_score_captions_join": score,
         "q_score_fragments": (
             "SELECT doc_id, log10_prob FROM (" + score + ")"
