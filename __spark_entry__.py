@@ -463,6 +463,67 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def _stream_src(sf_dir: str, name: str) -> str:
+    """Streaming file sources need a DIRECTORY; the testdata tables are
+    single files. Stage a per-sf copy once under /tmp and reuse it."""
+    import hashlib
+    import shutil
+
+    d = f"/tmp/kenlm_spark_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{name}"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(f"{sf_dir}/{name}.parquet", d)
+    return d
+
+
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL Structured Streaming: exact dedup via dropDuplicates on
+    the content hash, drained with availableNow into a memory sink. The
+    surviving row per hash is arrival-order-dependent, so the query
+    returns the DISTINCT HASH SET (deterministic) — the DuckDB twin is a
+    batch DISTINCT over the same 60-bit hash."""
+    import uuid
+
+    from kenlm_spark.streaming.jobs import dedup_stream, run_available_now
+
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    stream = dedup_stream(
+        spark, _stream_src(sf_dir, "documents"),
+        text_col="text", id_col="doc_id",
+    )
+    run_available_now(stream, name)
+    return spark.sql(f"SELECT DISTINCT text_hash FROM {name}")
+
+
+def q_events_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL Structured Streaming via applyInPandasWithState: running
+    per-user (count, sum) across micro-batches. The memory sink holds one
+    update row per (user, micro-batch); the final state per user is the
+    row with the largest running count — which must equal the batch
+    groupBy (the DuckDB twin)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from kenlm_spark.streaming.jobs import (
+        run_available_now,
+        running_user_stats_stream,
+    )
+
+    name = f"user_stats_stream_{uuid.uuid4().hex[:8]}"
+    stream = running_user_stats_stream(
+        spark, _stream_src(sf_dir, "events"), round_digits=3
+    )
+    run_available_now(stream, name, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (near, MinHash+LSH): shingle→minhash→band→bucket-join→verify."""
     from kenlm_spark.operators.dedup import minhash_lsh_pairs
@@ -949,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_exact_stream": q_dedup_exact_stream,
+        "q_events_user_stats_stream": q_events_user_stats_stream,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1169,6 +1232,15 @@ FROM (
             "documents", "text", 3, prune_thresholds={2: 1, 3: 1}
         ),
         "q_dedup_exact": dedup.exact_duplicates_sql(),
+        "q_dedup_exact_stream": (
+            "SELECT DISTINCT CAST(('0x' || substring(md5("
+            "regexp_replace(lower(coalesce(text, '')), '[\\x00\\t\\n\\r ]+', ' ', 'g')"
+            "), 1, 15)) AS BIGINT) AS text_hash FROM documents"
+        ),
+        "q_events_user_stats_stream": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id"
+        ),
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
         "q_dedup_simhash": dedup.simhash_sql(),
         "q_dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),

@@ -83,7 +83,7 @@ def dedup_stream(
 
 
 def running_user_stats_stream(
-    spark: SparkSession, events_path: str
+    spark: SparkSession, events_path: str, round_digits: int = 6
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-user event counters and value sums across micro-batches.
@@ -107,7 +107,11 @@ def running_user_stats_stream(
             s += float(pdf["value"].sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, round_digits)],
+            }
         )
 
     return stream.groupBy("user_id").applyInPandasWithState(
