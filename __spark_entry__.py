@@ -137,6 +137,31 @@ def q_score_captions_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_captions_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/J2 ingestion: scoring from the reference's quantized+Bhiksha
+    TRIE binary (tests/fixtures/test_trie_quant_array.klm, the most
+    compressed layout) — the trie reader decodes bit-packed arrays into
+    the same NGramModel, so this must hash-match q_score_captions' oracle
+    (test.arpa's value sets make 8-bit quantization lossless)."""
+    from kenlm_spark.ngram.binary import load_binary
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    model = load_binary(
+        os.path.join(REPO, "tests", "fixtures", "test_trie_quant_array.klm")
+    )
+    scorer = SparkNGramScorer(spark, model)
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.select(
+        "doc_id",
+        F.round(F.col("log10_prob"), 3).alias("log10_prob"),
+        F.round(
+            -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)), 4
+        ).alias("log10_ppl"),
+        F.col("oov_count"),
+        F.col("n_tokens"),
+    )
+
+
 def q_score_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11.6: stupid-backoff fallback scorer (fixed log10(0.4) penalty
     per skipped context order instead of learned backoffs)."""
@@ -989,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_score_captions": q_score_captions,
         "q_score_captions_binary": q_score_captions_binary,
+        "q_score_captions_trie": q_score_captions_trie,
         "q_score_captions_join": q_score_captions_join,
         "q_score_fragments": q_score_fragments,
         "q_score_stupid_backoff": q_score_stupid_backoff,
@@ -1162,6 +1188,7 @@ FROM s
     return {
         "q_score_captions": score,
         "q_score_captions_binary": score,
+        "q_score_captions_trie": score,
         "q_score_captions_join": score,
         "q_score_fragments": (
             "SELECT doc_id, log10_prob FROM (" + score + ")"

@@ -114,11 +114,20 @@ def load_binary(path: str) -> NGramModel:
         struct.unpack_from(f"<{order}Q", data, _SANITY_SIZE + _FIXED_SIZE)
     )
 
+    if not has_vocab:
+        raise ValueError(
+            f"{path}: built without vocabulary strings (build_binary "
+            "include_vocab off); word ids cannot be recovered"
+        )
     if model_type in _TRIE_TYPES:
-        raise NotImplementedError(
-            f"{path}: {_TRIE_TYPES[model_type]} is a compact-storage layout "
-            "of the same logical model (SURVEY.md §2.3 n/a-by-design); "
-            "rebuild with `build_binary probing` or load the ARPA"
+        if search_version != 1:
+            raise ValueError(
+                f"{path}: trie search version {search_version}, expected 1"
+            )
+        from kenlm_spark.ngram.trie import load_trie
+
+        return load_trie(
+            data, order, model_type, counts, _SANITY_SIZE, _FIXED_SIZE
         )
     if model_type not in (PROBING, REST_PROBING):
         raise ValueError(f"{path}: unknown model type {model_type}")
@@ -128,11 +137,6 @@ def load_binary(path: str) -> NGramModel:
         )
     if multiplier < 1.0:
         raise ValueError(f"{path}: probing multiplier {multiplier} < 1.0")
-    if not has_vocab:
-        raise ValueError(
-            f"{path}: built without vocabulary strings (build_binary "
-            "include_vocab off); word ids cannot be recovered"
-        )
 
     rest = model_type == REST_PROBING
     uni_dtype = _REST_WEIGHTS if rest else _PROB_BACKOFF

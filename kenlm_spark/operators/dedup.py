@@ -130,10 +130,18 @@ def minhash_signatures(
 def _minhash_wide(
     df: DataFrame, id_col: str, text_col: str, k_hashes: int, shingle_k: int
 ) -> DataFrame:
-    """(id, sigs array<long>, sh array<string>): signatures AND distinct
-    shingles in one Python pass (the shingle set is needed again by the
+    """(id, sigs array<long>, sh array<long>): signatures AND the distinct
+    shingle set in one Python pass (the shingle set is needed again by the
     exact-Jaccard verify; computing it once here avoids re-running the
-    Catalyst regex/transform subtree on both sides of the verify join)."""
+    Catalyst regex/transform subtree on both sides of the verify join).
+
+    Shingles are carried as 60-bit md5 HASHES, not strings: distinct
+    strings map to distinct hashes (collision ~n²/2⁶¹, and the DuckDB twin
+    hashes identically so any collision would still agree), set sizes —
+    and therefore Jaccard — are preserved, and the verify join's shuffle
+    payload drops from ~15 bytes/char of shingle text to 8 bytes/shingle.
+    That payload was what kept the N→4N scaling probe overhead-bound at
+    box-feasible corpus sizes (BENCH/BASELINE.md r2)."""
     import hashlib
 
     import pandas as pd
@@ -141,15 +149,19 @@ def _minhash_wide(
     from kenlm_spark.functions.text import PY_TOKEN_RE
 
     def batch(pdfs):
-        memo: dict[str, list[int]] = {}
+        memo: dict[str, tuple[int, list[int]]] = {}
 
-        def hashes(s: str) -> list[int]:
+        def hashes(s: str) -> tuple[int, list[int]]:
+            """(identity 60-bit hash, k minhash inputs) per distinct shingle."""
             v = memo.get(s)
             if v is None:
-                v = [
-                    int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
-                    for i in range(k_hashes)
-                ]
+                v = (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
+                    [
+                        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+                        for i in range(k_hashes)
+                    ],
+                )
                 memo[s] = v
             return v
 
@@ -165,12 +177,13 @@ def _minhash_wide(
                     }
                 else:
                     sh = {" ".join(toks)}
-                mins = [min(h) for h in zip(*(hashes(s) for s in sh))]
-                rows.append((did, mins, list(sh)))
+                hs = [hashes(s) for s in sh]
+                mins = [min(h) for h in zip(*(t[1] for t in hs))]
+                rows.append((did, mins, [t[0] for t in hs]))
             yield pd.DataFrame(rows, columns=["id", "sigs", "sh"])
 
     return df.select(id_col, text_col).mapInPandas(
-        batch, "id long, sigs array<long>, sh array<string>"
+        batch, "id long, sigs array<long>, sh array<long>"
     )
 
 
@@ -263,10 +276,16 @@ def minhash_lsh_pairs_sql(
         )
     bands_union = " UNION ALL ".join(band_selects)
     return f"""
-WITH sh AS (
+WITH shs AS (
   SELECT {id_col} AS id, {_shingles_sql(text_col, shingle_k)} AS shl FROM {table}
 ),
-exploded AS (SELECT id, unnest(shl) AS s FROM sh),
+sh AS (
+  -- same 60-bit shingle identity hashes the Spark side carries (set
+  -- sizes, hence Jaccard, preserved; any collision would collide
+  -- identically on both engines)
+  SELECT id, list_transform(shl, s -> {_h60_sql('s')}) AS shl FROM shs
+),
+exploded AS (SELECT id, unnest(shl) AS s FROM shs),
 sigs AS (SELECT id, {sig_cols} FROM exploded GROUP BY id),
 bands AS ({bands_union}),
 small AS (

@@ -85,16 +85,57 @@ def test_load_model_dispatch():
     )
 
 
-def test_trie_rejected(tmp_path):
-    """Trie layouts are n/a-by-design (SURVEY §2.3): clear error, and if
-    the compiled reference is available, verify against a REAL trie file."""
+TRIE_FIXTURES = {
+    "test_trie.klm": ["trie"],                               # type 2
+    "test_trie_quant.klm": ["-q", "8", "-b", "8", "trie"],   # type 3
+    "test_trie_array.klm": ["-a", "22", "trie"],             # type 4
+    "test_trie_quant_array.klm":
+        ["-a", "22", "-q", "8", "-b", "8", "trie"],          # type 5
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(TRIE_FIXTURES))
+def test_trie_variants_match_arpa(fixture, pair):
+    """All four trie layouts (plain / quantized / Bhiksha / both) decode
+    to ARPA-identical scores. test.arpa has few enough distinct values
+    per order that 8-bit quantization bins are lossless, so even the
+    quantized variants must match exactly; full per-token parity
+    (prob, ngram_length, oov) is asserted on every variant."""
+    ma, _ = pair
+    mt = load_binary(os.path.join(FIX, fixture))
+    assert mt.order == ma.order and mt.vocab.keys() == ma.vocab.keys()
+    for s in SENTENCES:
+        for (p1, l1, o1), (p2, l2, o2) in zip(
+            ma.full_scores(s), mt.full_scores(s)
+        ):
+            assert p2 == pytest.approx(p1, abs=1e-5)
+            assert (l1, o1) == (l2, o2)
+
+
+def test_trie_fixtures_regenerate_and_match_compiled_reference(tmp_path):
+    """Live differential check: rebuild each trie variant with the
+    reference's own build_binary, load it with OUR reader, and compare
+    scores against the COMPILED reference scoring the same file."""
     bb = "/tmp/refbuild/build_binary"
     if not os.path.exists(bb):
         pytest.skip("compiled reference not present")
-    out = str(tmp_path / "test_trie.klm")
-    subprocess.run([bb, "trie", ARPA, out], check=True, capture_output=True)
-    with pytest.raises(NotImplementedError, match="TRIE"):
-        load_binary(out)
+    sys_path = "/tmp/refbuild"
+    import sys
+
+    sys.path.insert(0, sys_path)
+    try:
+        import kenlm
+    except ImportError:
+        pytest.skip("compiled reference python module not present")
+    for fixture, args in TRIE_FIXTURES.items():
+        out = str(tmp_path / fixture)
+        subprocess.run([bb, *args, ARPA, out], check=True, capture_output=True)
+        ours = load_binary(out)
+        ref = kenlm.Model(out)
+        for s in SENTENCES:
+            assert ours.score(s) == pytest.approx(
+                ref.score(s, bos=True, eos=True), abs=1e-4
+            ), (fixture, s)
 
 
 def test_fixture_regenerates_identically(tmp_path):
