@@ -149,3 +149,21 @@ def test_fixture_regenerates_identically(tmp_path):
     fresh, vendored = load_binary(out), load_binary(KLM)
     for s in SENTENCES:
         assert fresh.score(s) == vendored.score(s)
+
+
+def test_rest_probing_binary(pair):
+    """REST_PROBING (model type 1): generated by scripts/
+    ref_make_rest_binary.cc (the reference's RestProbingModel + REST_MAX
+    writing its own mmap binary — build_binary can't produce this type
+    without lower-order files). Loader must match the ARPA rest loader:
+    scores, rest weight arrays, extends flags."""
+    ma = load_arpa(ARPA, rest=True)
+    mb = load_binary(os.path.join(FIX, "test_rest_probing.klm"))
+    assert mb.has_rest and mb.vocab == ma.vocab
+    for s in SENTENCES:
+        assert mb.score(s) == pytest.approx(ma.score(s), abs=1e-5)
+    assert np.allclose(np.sort(mb.uni_rest), np.sort(ma.uni_rest), atol=1e-6)
+    for n in range(2, mb.order):
+        assert np.array_equal(mb.keys[n], ma.keys[n])
+        assert np.allclose(mb.rests[n], ma.rests[n], atol=1e-6)
+        assert np.array_equal(mb.extends[n], ma.extends[n])
