@@ -549,6 +549,17 @@ def q_events_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact n-gram Jaccard): the O(n²) ground truth the MinHash
+    path's verify step implements — run on a deterministic 1000-doc
+    slice (all-pairs is the tiny-N / per-bucket tool; minhash_lsh_pairs
+    is the corpus-scale path)."""
+    from kenlm_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir).orderBy("doc_id").limit(1000)
+    return jaccard_pairs(docs, jaccard_threshold=0.5)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (near, MinHash+LSH): shingle→minhash→band→bucket-join→verify."""
     from kenlm_spark.operators.dedup import minhash_lsh_pairs
@@ -1039,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact_stream": q_dedup_exact_stream,
         "q_events_user_stats_stream": q_events_user_stats_stream,
         "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_fingerprint_winnow": q_fingerprint_winnow,
@@ -1269,6 +1281,10 @@ FROM (
             "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id"
         ),
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
+        "q_dedup_jaccard": dedup.jaccard_pairs_sql(
+            table="(SELECT * FROM documents ORDER BY doc_id LIMIT 1000)",
+            jaccard_threshold=0.5,
+        ),
         "q_dedup_simhash": dedup.simhash_sql(),
         "q_dedup_simhash_pairs": dedup.simhash_near_pairs_sql(),
         "q_fingerprint_winnow": _fingerprint_sql(),

@@ -256,6 +256,51 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 3, jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs — the O(n²) ground-truth
+    baseline for the MinHash path (same shingling, same 60-bit shingle
+    hashes, no banding): every pair with shingle-set Jaccard >= threshold.
+
+    Scale contract: all-pairs is the tiny-N / per-bucket tool;
+    ``minhash_lsh_pairs`` is the corpus-scale path (its verify step IS
+    this exact Jaccard, applied only to LSH candidates).
+    """
+    shl = F.transform(shingles_expr(text_col, shingle_k), h60)
+    docs = df.select(F.col(id_col).alias("id"), shl.alias("shl"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    a = docs.select(F.col("id").alias("id_a"), F.col("shl").alias("sh_a")).repartition(n_part)
+    b = docs.select(F.col("id").alias("id_b"), F.col("shl").alias("sh_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def jaccard_pairs_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 3, jaccard_threshold: float = 0.7,
+) -> str:
+    return f"""
+WITH shs AS (
+  SELECT {id_col} AS id, {_shingles_sql(text_col, shingle_k)} AS shl FROM {table}
+),
+sh AS (SELECT id, list_transform(shl, s -> {_h60_sql('s')}) AS shl FROM shs),
+verified AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+               / (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))),
+               6) AS jaccard
+  FROM sh a JOIN sh b ON a.id < b.id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {jaccard_threshold}
+"""
+
+
 def minhash_lsh_pairs_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
     k_hashes: int = 16, band_size: int = 2, shingle_k: int = 3,
