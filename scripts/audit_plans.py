@@ -60,6 +60,7 @@ def main() -> None:
         "q_similarity_lsh (single-pass numpy LSH)": em.q_similarity_lsh(spark, sf),
         "q_dedup_embedding (bucketed LSH + verify)": em.q_dedup_embedding(spark, sf),
         "q_score_captions_join (no-broadcast scorer)": em.q_score_captions_join(spark, sf),
+        "q_keep_drop_join (full pipeline, distributed model)": em.q_keep_drop_join(spark, sf),
     }
 
     lines = [
@@ -89,7 +90,7 @@ def main() -> None:
         lines.append("")
         # Hard gates: the scorer pipeline must cross into Python exactly
         # once and scan its input exactly once (no duplicated subtree).
-        if name.startswith("q_keep_drop"):
+        if name.startswith("q_keep_drop ("):
             if s["arrow_eval_python"] != 1:
                 failures.append(
                     f"{name}: expected exactly 1 ArrowEvalPython, "
@@ -99,6 +100,16 @@ def main() -> None:
                 failures.append(
                     f"{name}: expected exactly 1 parquet scan, "
                     f"got {s['scan_parquet']}"
+                )
+        if name.startswith("q_keep_drop_join"):
+            # distributed-model pipeline: one Arrow crossing (the key-chain
+            # mapInPandas), no row-at-a-time Python, docs scanned twice by
+            # design (tokenize stream + final rejoin of scores to rows).
+            if s["map_in_pandas"] != 1 or s["arrow_eval_python"] != 0:
+                failures.append(
+                    f"{name}: expected exactly 1 mapInPandas and 0 "
+                    f"ArrowEvalPython, got {s['map_in_pandas']} / "
+                    f"{s['arrow_eval_python']}"
                 )
     spark.stop()
     if failures:
