@@ -1,0 +1,125 @@
+"""CLI twins: query_cli vs the compiled reference `query` binary, and
+lmplz_cli producing an ARPA the reference itself loads and scores."""
+
+import io
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+ARPA = os.path.join(FIX, "test.arpa")
+
+CORPUS = "looking on a little more loin\nfoo bar zzz unknown\non a little more loin\n"
+
+
+def _run_ours(argv, stdin_text):
+    from kenlm_spark.query_cli import main
+
+    old_in, old_out = sys.stdin, sys.stdout
+    sys.stdin = io.StringIO(stdin_text)
+    sys.stdout = io.StringIO()
+    try:
+        main(argv)
+        return sys.stdout.getvalue()
+    finally:
+        sys.stdin, sys.stdout = old_in, old_out
+
+
+def _parse(output: str):
+    """(per-word tuples, per-line totals, summary floats) — parsed, since
+    C++ prints more float digits than %g."""
+    words, lines, summary = [], [], {}
+    for ln in output.splitlines():
+        for m in re.finditer(r"(\S+)=(\d+) (\d+) (-?[\d.e+-]+)\t", ln):
+            words.append((m.group(1), int(m.group(2)), int(m.group(3)),
+                          float(m.group(4))))
+        m = re.search(r"Total: (-?[\d.e+-]+) OOV: (\d+)", ln)
+        if m:
+            lines.append((float(m.group(1)), int(m.group(2))))
+        m = re.match(r"(Perplexity [^:]+|OOVs|Tokens):\t(-?[\d.e+-]+)", ln)
+        if m:
+            summary[m.group(1)] = float(m.group(2))
+    return words, lines, summary
+
+
+def test_query_cli_matches_reference_binary():
+    ref_bin = "/tmp/refbuild/query"
+    if not os.path.exists(ref_bin):
+        pytest.skip("compiled reference query binary not present")
+    theirs = subprocess.run(
+        [ref_bin, ARPA], input=CORPUS, capture_output=True, text=True,
+    ).stdout
+    ours = _run_ours([ARPA], CORPUS)
+    w1, l1, s1 = _parse(ours)
+    w2, l2, s2 = _parse(theirs)
+    assert len(w1) == len(w2) and len(l1) == len(l2)
+    for (a_w, a_id, a_n, a_p), (b_w, b_id, b_n, b_p) in zip(w1, w2):
+        assert (a_w, a_id, a_n) == (b_w, b_id, b_n)
+        assert a_p == pytest.approx(b_p, abs=1e-4)
+    for (a_t, a_o), (b_t, b_o) in zip(l1, l2):
+        assert a_o == b_o and a_t == pytest.approx(b_t, abs=1e-3)
+    assert s1.keys() == s2.keys()
+    for k in s1:
+        assert s1[k] == pytest.approx(s2[k], rel=1e-4), k
+
+
+def test_query_cli_null_context_and_verbosity():
+    ref_bin = "/tmp/refbuild/query"
+    if not os.path.exists(ref_bin):
+        pytest.skip("compiled reference query binary not present")
+    theirs = subprocess.run(
+        [ref_bin, "-n", "-v", "summary", ARPA],
+        input=CORPUS, capture_output=True, text=True,
+    ).stdout
+    ours = _run_ours(["-n", "-v", "summary", ARPA], CORPUS)
+    _, _, s1 = _parse(ours)
+    _, _, s2 = _parse(theirs)
+    assert s1["Tokens"] == s2["Tokens"]  # no </s> appended
+    for k in s1:
+        assert s1[k] == pytest.approx(s2[k], rel=1e-4), k
+
+
+def test_query_cli_binary_model():
+    """The CLI loads binary layouts through the same dispatcher."""
+    out = _run_ours([os.path.join(FIX, "test_trie_quant_array.klm")], CORPUS)
+    _, lines, _ = _parse(out)
+    assert lines[0][0] == pytest.approx(-1.568, abs=1e-3)
+
+
+def test_lmplz_cli_roundtrip(tmp_path, spark):
+    """lmplz_cli output parses in the COMPILED reference and scores
+    identically to our own loader."""
+    from kenlm_spark.lmplz_cli import main as lmplz_main
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "looking on a little more loin\n"
+        "on a little more loin\n"
+        "on foo little more loin\n"
+        "bar\n"
+    )
+    arpa = str(tmp_path / "out.arpa")
+    old_argv_master = ["-o", "3", "--text", str(corpus), "--arpa", arpa,
+                       "--prune", "0", "--master", "local[4]"]
+    lmplz_main(old_argv_master)
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    ours = load_arpa(arpa)
+    assert ours.order == 3
+    s = "on a little more loin"
+    assert ours.score(s) > -10
+
+    sys.path.insert(0, "/tmp/refbuild")
+    try:
+        import kenlm as ref_kenlm
+    except ImportError:
+        pytest.skip("compiled reference binding not present")
+    ref = ref_kenlm.Model(arpa)
+    for sent in ["on a little more loin", "bar", "foo little zzz"]:
+        assert ours.score(sent) == pytest.approx(
+            ref.score(sent, bos=True, eos=True), abs=1e-4
+        )
