@@ -244,6 +244,101 @@ def fuzz_random_models(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
     return checked, worst
 
 
+def ensure_build_binary() -> str:
+    exe = os.path.join(BUILD_DIR, "build_binary")
+    if not os.path.exists(exe):
+        srcs = []
+        for sub in ("util", "util/double-conversion", "lm"):
+            for f in sorted(os.listdir(os.path.join(BUILD_DIR, sub))):
+                if f.endswith(".cc") and "main" not in f and "test" not in f:
+                    srcs.append(os.path.join(sub, f))
+        cmd = [
+            "g++", "-O2", "-std=c++14", "-DKENLM_MAX_ORDER=6", "-DHAVE_ZLIB",
+            "-I.", "lm/build_binary_main.cc", *srcs, "-o", "build_binary",
+            "-lz", "-w",
+        ]
+        subprocess.run(cmd, cwd=BUILD_DIR, check=True)
+    return exe
+
+
+def fuzz_binary_loader(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
+    """Random ARPA models → the reference's own build_binary (probing AND
+    every trie variant) → OUR binary reader, scored against the compiled
+    reference loading the same file. Fuzzes the layout decode (bucket
+    sizing, bit packing, Bhiksha arrays, quant tables) far beyond the
+    vendored fixtures."""
+    import tempfile
+
+    from kenlm_spark.ngram.binary import load_binary
+
+    bb = ensure_build_binary()
+    variants = [
+        ["probing"],
+        ["trie"],
+        ["-q", "8", "-b", "8", "trie"],
+        ["-a", "22", "trie"],
+        ["-a", "22", "-q", "8", "-b", "8", "trie"],
+    ]
+    rng = random.Random(1234)
+    checked, worst = 0, 0.0
+    for mi in range(n_models):
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".arpa", delete=False
+        ) as tf:
+            path = tf.name
+        random_arpa(rng, path)
+        try:
+            ref_arpa = kenlm.Model(path)
+        except OSError:
+            os.unlink(path)
+            continue
+        del ref_arpa
+        words = None
+        for args in variants:
+            out = path + "." + "".join(a.strip("-") for a in args) + ".klm"
+            built = subprocess.run(
+                [bb, *args, path, out], capture_output=True, text=True
+            )
+            if built.returncode != 0:
+                continue  # e.g. quantization needs >= 2^bits values
+            ours = load_binary(out)
+            ref = kenlm.Model(out)
+            if words is None:
+                words = [
+                    w for w in ours.vocab if w not in ("<s>", "</s>")
+                ] + ["zzz"]
+            # quantized variants are lossy in general; compare against the
+            # reference READING THE SAME FILE, so tolerance stays tight.
+            for _ in range(n_sents):
+                sent = " ".join(
+                    rng.choice(words) for _ in range(rng.randrange(0, 9))
+                )
+                r = ref.score(sent, bos=True, eos=True)
+                o = ours.score(sent)
+                d = abs(r - o)
+                worst = max(worst, d)
+                checked += 1
+                if d > 1e-4:
+                    raise SystemExit(
+                        f"BINARY FUZZ MISMATCH model#{mi} {args} {sent!r}: "
+                        f"ref={r} ours={o} ({out})"
+                    )
+                for (rp, rl, ro), (op, ol, oo) in zip(
+                    ref.full_scores(sent), ours.full_scores(sent)
+                ):
+                    checked += 1
+                    worst = max(worst, abs(rp - op))
+                    if abs(rp - op) > 1e-4 or rl != ol or ro != oo:
+                        raise SystemExit(
+                            f"BINARY FUZZ FULL MISMATCH model#{mi} {args} "
+                            f"{sent!r}: ref=({rp},{rl},{ro}) "
+                            f"ours=({op},{ol},{oo})"
+                        )
+            os.unlink(out)
+        os.unlink(path)
+    return checked, worst
+
+
 def writer_roundtrip_via_reference(kenlm) -> int:
     """S5 writer validation with the real parser: estimate a model with
     OUR estimator, write ARPA with OUR writer, load it with the COMPILED
@@ -397,6 +492,9 @@ def main() -> int:
         kenlm, n_models=max(n // 40, 20), n_sents=40
     )
     writer_checked = writer_roundtrip_via_reference(kenlm)
+    bin_checked, bin_worst = fuzz_binary_loader(
+        kenlm, n_models=max(n // 100, 8), n_sents=25
+    )
     f1, n_docs = pipeline_f1_vs_reference(kenlm)
 
     md = [
@@ -435,6 +533,12 @@ def main() -> int:
         "Writer round-trip: our estimator's model written by OUR ARPA",
         "writer, parsed by the COMPILED reference, scores equal to our",
         f"broadcast model on **{writer_checked}** real captions.",
+        "",
+        "Binary-loader fuzz: random ARPA models built by the reference's",
+        "own build_binary into probing + all four trie layouts, loaded by",
+        "OUR reader and scored against the compiled reference reading the",
+        f"SAME file: **{bin_checked}** checks, worst |Δ| = "
+        f"**{bin_worst:.2e}**.",
     ]
     if f1 < 0.99:
         print(f"F1 {f1} below target", file=sys.stderr)
