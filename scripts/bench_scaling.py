@@ -199,6 +199,18 @@ excludes ARPA parse + broadcast construction and uses steady-state runs.
 See the driver-recorded `BENCH_r*.json` (produced by `bench.py`) for
 per-query timings at sf0.1.
 """
+    # Preserve the secondary-workload sections (dedup scaling sweep,
+    # salt-skew crossover) appended by the other bench scripts.
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("## Second workload")
+        if idx == -1:
+            idx = prev.find("## Salted-repartition")
+        if idx != -1:
+            tail = "\n\n" + prev[idx:]
+    md += tail
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
