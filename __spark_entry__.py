@@ -806,6 +806,19 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing: REAL PCM16 decode of a synthesized audio
+    blob (128 bytes = 64 samples per doc), 16-sample windowing, per-window
+    RMS + zero crossings — map-only mapInPandas, exact-integer math up to
+    the shared round() so the DuckDB twin matches bitwise."""
+    from kenlm_spark.operators.multimodal import audio_features
+
+    clips = _docs(spark, sf_dir).select(
+        "doc_id", F.unhex(F.repeat(F.md5("text"), 8)).alias("audio")
+    )
+    return audio_features(clips, "doc_id", "audio", window=16)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: metadata over a synthesized binary column."""
     from kenlm_spark.operators.multimodal import binary_meta
@@ -1071,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_model": q_quantize_model,
         "q_token_stats": q_token_stats,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_audio_features": q_audio_features,
         "q_multimodal_frames": q_multimodal_frames,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
@@ -1405,6 +1419,29 @@ SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        false AS decoded_real,
        substring(bh, frame_idx * 16 + 1, 16) AS frame_hex
 FROM f
+""",
+        "q_audio_features": """
+WITH h AS (SELECT doc_id AS id, repeat(md5(text), 8) AS hx FROM documents),
+samples AS (
+  SELECT id, i,
+         CAST(('0x' || substr(hx, 4*i+3, 2) || substr(hx, 4*i+1, 2)) AS BIGINT) AS raw
+  FROM h, generate_series(0, 63) AS t(i)
+),
+signed AS (
+  SELECT id, i, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM samples
+),
+win AS (
+  SELECT id, i // 16 AS win_idx, i % 16 AS j, v,
+         lag(v) OVER (PARTITION BY id, i // 16 ORDER BY i) AS pv
+  FROM signed
+)
+SELECT id, win_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sqrt(sum(v*v) / count(*)), 3) AS rms,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_cross
+FROM win GROUP BY id, win_idx
 """,
         "q_multimodal_meta": """
 SELECT doc_id,

@@ -226,3 +226,56 @@ def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         .cast("long")
         .alias("first_byte"),
     )
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", bytes_col: str = "audio",
+    window: int = 16,
+) -> DataFrame:
+    """Audio-column plumbing: REAL PCM16 little-endian decode (no codec
+    needed — raw PCM is bytes), fixed-size windowing, and per-window
+    features (RMS, zero crossings) — the audio twin of the image ops:
+    map-only mapInPandas over an opaque binary column, vectorized numpy
+    inside, one output row per (clip, window).
+
+    Output: (id, win_idx, n_samples, rms, zero_cross). RMS is
+    round(sqrt(mean(v^2)), 3); zero_cross counts sign products < 0
+    between consecutive samples within the window — both exact-integer
+    computations up to the final sqrt, so the DuckDB twin matches
+    bitwise after the shared round().
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, widx, ns, rms, zc = [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                samples = np.frombuffer(bytes(blob), dtype="<i2")
+                n_win = len(samples) // window
+                for w in range(n_win):
+                    v = samples[w * window : (w + 1) * window].astype(
+                        np.int64
+                    )
+                    ids.append(rid)
+                    widx.append(w)
+                    ns.append(len(v))
+                    rms.append(
+                        round(float(np.sqrt((v * v).sum() / len(v))), 3)
+                    )
+                    zc.append(int(((v[:-1] * v[1:]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(widx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zero_cross": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        run,
+        "id long, win_idx long, n_samples long, rms double, zero_cross long",
+    )

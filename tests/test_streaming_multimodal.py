@@ -239,3 +239,24 @@ def test_stateful_user_stats(spark, sf_dir, tmp_path):
         final[r["user_id"]] = (r["n_events"], r["sum_value"])
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
     assert final == want
+
+
+def test_audio_features_real_pcm(spark):
+    """Crafted PCM16: a square wave alternating +1000/-1000 has RMS 1000
+    and a zero crossing at every sample boundary; silence has RMS 0."""
+    import numpy as np
+
+    from kenlm_spark.operators.multimodal import audio_features
+
+    square = np.tile(np.array([1000, -1000], dtype="<i2"), 16)  # 32 samples
+    silence = np.zeros(16, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(square.tobytes())), (2, bytearray(silence.tobytes()))],
+        "doc_id long, audio binary",
+    )
+    rows = {(r["id"], r["win_idx"]): r
+            for r in audio_features(df, "doc_id", "audio", window=16).collect()}
+    assert len(rows) == 3  # 2 windows for the square wave, 1 for silence
+    assert rows[(1, 0)]["rms"] == 1000.0 and rows[(1, 1)]["rms"] == 1000.0
+    assert rows[(1, 0)]["zero_cross"] == 15  # every adjacent pair flips
+    assert rows[(2, 0)]["rms"] == 0.0 and rows[(2, 0)]["zero_cross"] == 0
