@@ -167,3 +167,68 @@ def test_rest_probing_binary(pair):
         assert np.array_equal(mb.keys[n], ma.keys[n])
         assert np.allclose(mb.rests[n], ma.rests[n], atol=1e-6)
         assert np.array_equal(mb.extends[n], ma.extends[n])
+
+
+def test_write_binary_roundtrip_and_reference_loads_it(tmp_path):
+    """binary_writer: our probing .klm round-trips through our own reader
+    AND loads in the COMPILED reference with identical per-token scores —
+    the full interop loop (reference ARPA -> us -> reference binary)."""
+    from kenlm_spark.ngram.binary_writer import write_binary
+
+    ma = load_arpa(ARPA)
+    out = str(tmp_path / "ours.klm")
+    write_binary(ma, out)
+    mb = load_binary(out)
+    for s in SENTENCES:
+        assert mb.score(s) == pytest.approx(ma.score(s), abs=1e-6)
+
+    import sys
+
+    sys.path.insert(0, "/tmp/refbuild")
+    try:
+        import kenlm as ref_kenlm
+    except ImportError:
+        pytest.skip("compiled reference binding not present")
+    ref = ref_kenlm.Model(out)
+    for s in SENTENCES:
+        assert ref.score(s, bos=True, eos=True) == pytest.approx(
+            ma.score(s), abs=1e-4
+        )
+        for (p1, l1, o1), (p2, l2, o2) in zip(
+            ref.full_scores(s), ma.full_scores(s)
+        ):
+            assert p1 == pytest.approx(p2, abs=1e-4)
+            assert (l1, o1) == (l2, o2)
+
+
+def test_estimated_model_deploys_as_binary(tmp_path, spark):
+    """Train in Spark -> write_binary -> the reference engine consumes it:
+    the deployment path for models estimated by this engine."""
+    from kenlm_spark.estimator import estimate, to_ngram_model
+    from kenlm_spark.ngram.binary_writer import write_binary
+
+    docs = spark.createDataFrame(
+        [("looking on a little more loin",), ("on a little more loin",),
+         ("on foo little more loin",), ("bar",)],
+        "text string",
+    )
+    model_df, _ = estimate(docs, "text", order=3)
+    m = to_ngram_model(model_df, 3)
+    out = str(tmp_path / "trained.klm")
+    write_binary(m, out)
+    mb = load_binary(out)
+    for s in ["on a little more loin", "bar", "foo little zzz"]:
+        assert mb.score(s) == pytest.approx(m.score(s), abs=1e-5)
+
+    import sys
+
+    sys.path.insert(0, "/tmp/refbuild")
+    try:
+        import kenlm as ref_kenlm
+    except ImportError:
+        pytest.skip("compiled reference binding not present")
+    ref = ref_kenlm.Model(out)
+    for s in ["on a little more loin", "bar", "foo little zzz"]:
+        assert ref.score(s, bos=True, eos=True) == pytest.approx(
+            m.score(s), abs=1e-4
+        )
