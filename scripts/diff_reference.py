@@ -335,6 +335,30 @@ def fuzz_binary_loader(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
                             f"ours=({op},{ol},{oo})"
                         )
             os.unlink(out)
+        # OUR writer: reference must load the file we write from the same
+        # random model and score identically (the reverse direction).
+        from kenlm_spark.ngram.arpa import load_arpa
+        from kenlm_spark.ngram.binary_writer import write_binary
+
+        ours_model = load_arpa(path)
+        wout = path + ".ours.klm"
+        write_binary(ours_model, wout)
+        ref = kenlm.Model(wout)
+        for _ in range(n_sents):
+            sent = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(0, 9))
+            )
+            r = ref.score(sent, bos=True, eos=True)
+            o = ours_model.score(sent)
+            d = abs(r - o)
+            worst = max(worst, d)
+            checked += 1
+            if d > 1e-4:
+                raise SystemExit(
+                    f"WRITER FUZZ MISMATCH model#{mi} {sent!r}: "
+                    f"ref={r} ours={o} ({wout})"
+                )
+        os.unlink(wout)
         os.unlink(path)
     return checked, worst
 
@@ -534,11 +558,12 @@ def main() -> int:
         "writer, parsed by the COMPILED reference, scores equal to our",
         f"broadcast model on **{writer_checked}** real captions.",
         "",
-        "Binary-loader fuzz: random ARPA models built by the reference's",
-        "own build_binary into probing + all four trie layouts, loaded by",
-        "OUR reader and scored against the compiled reference reading the",
-        f"SAME file: **{bin_checked}** checks, worst |Δ| = "
-        f"**{bin_worst:.2e}**.",
+        "Binary-format fuzz, BOTH directions: random ARPA models built by",
+        "the reference's own build_binary into probing + all four trie",
+        "layouts are loaded by OUR reader and scored against the compiled",
+        "reference reading the same file; and OUR binary_writer's probing",
+        "files are loaded by the COMPILED REFERENCE and scored against our",
+        f"model: **{bin_checked}** checks, worst |Δ| = **{bin_worst:.2e}**.",
     ]
     if f1 < 0.99:
         print(f"F1 {f1} below target", file=sys.stderr)

@@ -123,3 +123,23 @@ def test_lmplz_cli_roundtrip(tmp_path, spark):
         assert ours.score(sent) == pytest.approx(
             ref.score(sent, bos=True, eos=True), abs=1e-4
         )
+
+
+def test_build_binary_cli(tmp_path):
+    """build_binary twin: ARPA -> probing .klm loadable on both sides."""
+    from kenlm_spark.build_binary_cli import main as bb_main
+    from kenlm_spark.ngram.arpa import load_arpa
+    from kenlm_spark.ngram.binary import load_binary
+
+    out = str(tmp_path / "out.klm")
+    assert bb_main(["probing", ARPA, out]) == 0
+    ma, mb = load_arpa(ARPA), load_binary(out)
+    for s in ["looking on a little more loin", "foo bar zzz unknown"]:
+        assert mb.score(s) == pytest.approx(ma.score(s), abs=1e-6)
+    assert bb_main(["trie", ARPA, out]) == 2  # write-side trie refused
+    # custom multiplier round-trips too
+    out2 = str(tmp_path / "p3.klm")
+    assert bb_main(["-p", "3.0", "probing", ARPA, out2]) == 0
+    assert load_binary(out2).score("on a little more loin") == pytest.approx(
+        ma.score("on a little more loin"), abs=1e-6
+    )
