@@ -509,21 +509,9 @@ def export_model_tables(
 
     @pandas_udf("long")
     def key_of(ids: pd.Series) -> pd.Series:
-        from kenlm_spark.ngram.hashing import combine_word_hash_vec
+        from kenlm_spark.ngram.hashing import ngram_keys_batch
 
-        out = np.zeros(len(ids), dtype=np.uint64)
-        lens = ids.str.len().to_numpy()
-        for ln in np.unique(lens):
-            sel = lens == ln
-            mat = np.array(
-                [np.asarray(x, dtype=np.uint64) for x in ids[sel]],
-                dtype=np.uint64,
-            ).reshape(int(sel.sum()), int(ln))
-            h = mat[:, -1].copy()
-            for j in range(int(ln) - 2, -1, -1):
-                h = combine_word_hash_vec(h, mat[:, j])
-            out[sel] = h
-        return pd.Series(out.view(np.int64))
+        return pd.Series(ngram_keys_batch(ids))
 
     hi_tall = grams.select(
         "n", key_of("ids").alias("key"), "prob", "backoff"

@@ -72,6 +72,28 @@ def ngram_key(word_ids) -> int:
     return h
 
 
+def ngram_keys_batch(id_lists) -> np.ndarray:
+    """Vectorized :func:`ngram_key` over a batch of id sequences (mixed
+    lengths): fold the recurrence right-to-left per distinct length. Used
+    by estimator.export_model_tables' Arrow pass; returns int64 views of
+    the uint64 keys."""
+    id_lists = list(id_lists)
+    out = np.zeros(len(id_lists), dtype=np.uint64)
+    lens = np.fromiter((len(x) for x in id_lists), dtype=np.int64,
+                       count=len(id_lists))
+    for ln in np.unique(lens):
+        sel = np.where(lens == ln)[0]
+        mat = np.array(
+            [np.asarray(id_lists[i], dtype=np.uint64) for i in sel],
+            dtype=np.uint64,
+        ).reshape(len(sel), int(ln))
+        h = mat[:, -1].copy()
+        for j in range(int(ln) - 2, -1, -1):
+            h = combine_word_hash_vec(h, mat[:, j])
+        out[sel] = h
+    return out.view(np.int64)
+
+
 def combine_word_hash_vec(current: np.ndarray, words: np.ndarray) -> np.ndarray:
     """Vectorized ``combine_word_hash`` over uint64 arrays."""
     cur = current.astype(np.uint64, copy=False)

@@ -146,3 +146,25 @@ def test_arpa_bz2_xz_roundtrip(tmp_path):
         p.write_bytes(data)
         m = load_arpa(str(p))
         assert m.order == 5 and "looking" in m
+
+
+def test_ngram_keys_batch_matches_scalar():
+    """The Arrow-pass key kernel == ngram_key for every length 1..6 and
+    mixed-length batches (the export path uses it on whole model tables)."""
+    import random
+
+    import numpy as np
+
+    from kenlm_spark.ngram.hashing import ngram_key, ngram_keys_batch
+
+    rng = random.Random(3)
+    batch = [
+        [rng.randrange(0, 1 << 20) for _ in range(rng.randrange(1, 7))]
+        for _ in range(500)
+    ]
+    got = ngram_keys_batch(batch)
+    want = np.array(
+        [np.uint64(ngram_key(ids)).astype(np.int64) for ids in batch],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got, want)
