@@ -22,6 +22,9 @@ the same transcriptions behind the oracle-green q_filter_* queries):
 * ``phrase`` modifier (union) — sentence lines are phrases; an n-gram
   passes iff coverable by the phrase set (lm/filter/phrase.hh semantics,
   q_filter_phrase's oracle-checked coverage DP).
+* ``raw`` modifier — count-file format (lm/filter/count_io.hh:
+  ``w1 w2 ...<TAB>count`` per line) instead of ARPA; lines pass through
+  verbatim. ``arpa`` (the default) may be given explicitly.
 
 The reference streams the LM through stdin; here the model is a
 positional argument ("-" reads stdin). Original n-gram lines are copied
@@ -91,7 +94,7 @@ def main(argv=None) -> int:
         return 2
 
     mods = set()
-    while args and args[0] in ("context", "phrase"):
+    while args and args[0] in ("context", "phrase", "raw", "arpa"):
         mods.add(args.pop(0))
     if not args:
         return usage("missing mode")
@@ -107,12 +110,32 @@ def main(argv=None) -> int:
         return usage(f"expected MODEL OUTPUT, got {args}")
     model_path, out_path = args
 
+    raw_fmt = "raw" in mods
     fh = sys.stdin if model_path == "-" else open(model_path)
-    counts, sections = _read_arpa(fh)
+    if raw_fmt:
+        # count-file format (lm/filter/count_io.hh): "w1 w2 ...\tcount"
+        sections = {}
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            gram = line.split("\t", 1)[0]
+            words = tuple(gram.split(" "))
+            sections.setdefault(len(words), []).append((words, line))
+    else:
+        _counts, sections = _read_arpa(fh)
+
+    def write_out(filtered, out):
+        if raw_fmt:
+            for n in sorted(filtered):
+                for _, raw in filtered[n]:
+                    out.write(raw + "\n")
+        else:
+            _write_arpa(filtered, out)
 
     if mode == "copy":
         with open(out_path, "w") as out:
-            _write_arpa(sections, out)
+            write_out(sections, out)
         return 0
 
     from pyspark.sql import SparkSession
@@ -195,7 +218,7 @@ def main(argv=None) -> int:
         }
         path = out_path if sent_id is None else f"{out_path}{sent_id}"
         with open(path, "w") as out:
-            _write_arpa(filtered, out)
+            write_out(filtered, out)
     if not preexisting:
         spark.stop()
     return 0

@@ -94,3 +94,24 @@ def test_phrase_modifier(tmp_path, spark):
 def test_bad_args(tmp_path):
     assert main(["bogus", ARPA, "x"]) == 2
     assert main(["union", ARPA, "x"]) == 2  # missing vocab:
+
+
+def test_raw_count_format(tmp_path, spark):
+    """raw modifier: count-file lines (w1 w2<TAB>count, count_io.hh)
+    filter through the same modes and pass through verbatim."""
+    counts = tmp_path / "counts.txt"
+    counts.write_text(
+        "looking on\t5\non a\t4\na little\t3\nbiarritz ,\t2\nmore loin\t7\n"
+    )
+    voc = tmp_path / "v.txt"
+    voc.write_text("looking on a little more loin")
+    out = str(tmp_path / "filtered.txt")
+    assert main(["raw", "single", f"vocab:{voc}", str(counts), out]) == 0
+    lines = set(open(out).read().splitlines())
+    assert lines == {"looking on\t5", "on a\t4", "a little\t3", "more loin\t7"}
+    # copy mode round-trips the raw file
+    out2 = str(tmp_path / "copy.txt")
+    assert main(["raw", "copy", str(counts), out2]) == 0
+    assert set(open(out2).read().splitlines()) == set(
+        counts.read_text().splitlines()
+    )
