@@ -126,7 +126,7 @@ def main() -> None:
         "  isolation at sf0.1/local[32] the query is 0.17-0.22s steady-state",
         "  and its plan is one Project (all regexp_count exprs) over the",
         "  parquet scan + the ensure_min_partitions round-robin. The bench",
-        "  runs 47 queries in one shared JVM; sub-second entries absorb GC",
+        "  runs 53 queries in one shared JVM; sub-second entries absorb GC",
         "  from heavier neighbors (q_langid_nb runs nearby since r2).",
         "- **Collect-free flagship evidence** (estimate → exported bucketed",
         "  model tables → join-scored pipeline, 0 Exchange above the model",
