@@ -183,6 +183,7 @@ def q_score_captions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fallback when the estimated model outgrows the driver/broadcast
     ceiling. Must hash-match q_score_captions' oracle exactly."""
     from kenlm_spark.ngram.join_scorer import (
+        key_bloom_from_model,
         model_table,
         score_with_join,
         vocab_table,
@@ -197,6 +198,7 @@ def q_score_captions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.order,
         m.bos_id,
         m.eos_id,
+        key_bloom=key_bloom_from_model(m),
     )
     return scored.select(
         "doc_id",
@@ -372,6 +374,7 @@ def q_keep_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
     from kenlm_spark.filtering.scrub import scrub_expr
     from kenlm_spark.ngram.join_scorer import (
+        key_bloom_from_model,
         model_table,
         score_with_join,
         vocab_table,
@@ -381,7 +384,7 @@ def q_keep_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scored = score_with_join(
         docs, "text", model_table(spark, m), vocab_table(spark, m),
-        m.order, m.bos_id, m.eos_id,
+        m.order, m.bos_id, m.eos_id, key_bloom=key_bloom_from_model(m),
     ).select(
         "doc_id",
         F.col("log10_prob").alias("lm_log10_prob"),

@@ -27,6 +27,8 @@ uses) — ``q_score_captions_join`` hash-matches q_score_captions' oracle.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +36,155 @@ from pyspark.sql import functions as F
 from kenlm_spark.functions.text import tokenize
 from kenlm_spark.ngram.hashing import combine_word_hash
 from kenlm_spark.ngram.model import NGramModel
+
+
+@dataclass
+class KeyBloom:
+    """Bit-packed Bloom filter over the model's order>=2 key set.
+
+    A few bits per key (default 10 → ~1% false positives with k=7), so it
+    broadcasts where the model itself doesn't: a 1e9-key model is ~1.25 GB
+    of bits vs ~20+ GB of (key, prob, backoff) payload. Keys are already
+    uniform 64-bit hash chains (combine_word_hash), so probe positions come
+    from double hashing the key itself — no re-hash pass. False negatives
+    are impossible (every member key sets its bits), so filtering candidate
+    n-grams with it before the model join is EXACT: a dropped candidate
+    would have missed the join anyway (missing grams / context suffixes
+    charge nothing by ARPA suffix closure); false positives just flow to
+    the join and drop there.
+    """
+
+    nbits: int  # power of two
+    k: int
+    bits: bytes  # nbits/8 bytes, little-endian bit order within a byte
+
+    def contains(self, keys_i64: np.ndarray) -> np.ndarray:
+        """Vectorized membership test for int64-viewed uint64 keys."""
+        bits = np.frombuffer(self.bits, dtype=np.uint8)
+        h1 = keys_i64.view(np.uint64)
+        h2 = (h1 >> np.uint64(33)) | np.uint64(1)
+        mask = np.uint64(self.nbits - 1)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            out &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 != 0
+        return out
+
+
+_BLOOM_K = 6  # fixed probe count: with 10 bits/key FP ~1%, and a fixed k
+# lets partition bitmaps build BEFORE the key count is known
+
+
+def _set_bits(bm: np.ndarray, keys_u64: np.ndarray, nbits: int) -> None:
+    h2 = (keys_u64 >> np.uint64(33)) | np.uint64(1)
+    mask = np.uint64(nbits - 1)
+    for i in range(_BLOOM_K):
+        pos = (keys_u64 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bm,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+def _fold(bm: np.ndarray, target_nbits: int) -> np.ndarray:
+    """OR-fold a power-of-two bitmap down to ``target_nbits``. Probe
+    positions are ``hash & (nbits-1)``, so the folded bitmap is
+    bit-identical to one built directly at the target size — membership
+    stays exact (no false negatives introduced)."""
+    while len(bm) * 8 > target_nbits:
+        half = len(bm) // 2
+        bm = np.bitwise_or(bm[:half], bm[half:])
+    return bm
+
+
+def _target_nbits(n_keys: int, bits_per_key: int, cap: int) -> int:
+    want = 1 << max(13, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    return min(cap, want)
+
+
+def build_key_bloom(
+    model_df: DataFrame,
+    bits_per_key: int = 10,
+    initial_bits: int = 1 << 26,
+    merge_parallelism: int = 16,
+) -> KeyBloom:
+    """One distributed pass over the model table → a broadcastable Bloom
+    filter of its order>=2 keys.
+
+    Single job: each input partition sets its keys' bits into a local
+    bitmap at ``initial_bits`` (vectorized ``np.bitwise_or.at``) and emits
+    (count, bitmap); bitmaps are OR-merged through a coalesced reduce
+    stage (``merge_parallelism``-wide, so the driver sees at most that
+    many bitmaps regardless of input partition count) and folded down to
+    the count-optimal size. Size the cap for the model: ``initial_bits``
+    must be >= ~``bits_per_key`` × key count or the false-positive rate
+    degrades (the filter stays exact either way — members always pass).
+    Default 2^26 bits = 8 MB covers ~6.7M keys; a 1e9-key model wants
+    ``initial_bits=1<<34`` (2 GB — still far under the model's payload).
+    Unigrams are excluded: word ids always hit the n=1 table, so filtering
+    them would save nothing.
+    """
+    import pandas as pd
+
+    nbytes = initial_bits // 8
+
+    def part_bitmap(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        count = 0
+        for pdf in batches:
+            h1 = pdf["key"].to_numpy(np.int64).view(np.uint64)
+            if not len(h1):
+                continue
+            count += len(h1)
+            _set_bits(bm, h1, initial_bits)
+        if count:
+            yield pd.DataFrame({"count": [count], "bm": [bm.tobytes()]})
+
+    def or_reduce(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        count = 0
+        for pdf in batches:
+            for c, b in zip(pdf["count"], pdf["bm"]):
+                count += int(c)
+                np.bitwise_or(bm, np.frombuffer(b, dtype=np.uint8), out=bm)
+        if count:
+            yield pd.DataFrame({"count": [count], "bm": [bm.tobytes()]})
+
+    parts = (
+        model_df.filter(F.col("n") >= 2)
+        .select("key")
+        .mapInPandas(part_bitmap, "count long, bm binary")
+        .coalesce(merge_parallelism)
+        .mapInPandas(or_reduce, "count long, bm binary")
+        .collect()
+    )
+    bm = np.zeros(nbytes, dtype=np.uint8)
+    n_keys = 0
+    for row in parts:
+        n_keys += row["count"]
+        np.bitwise_or(bm, np.frombuffer(row["bm"], dtype=np.uint8), out=bm)
+    bm = _fold(bm, _target_nbits(n_keys, bits_per_key, initial_bits))
+    return KeyBloom(nbits=len(bm) * 8, k=_BLOOM_K, bits=bm.tobytes())
+
+
+def key_bloom_from_model(
+    model: NGramModel, bits_per_key: int = 10
+) -> KeyBloom:
+    """Driver-side fast path: build the candidate filter straight from an
+    already-resident :class:`NGramModel`'s key arrays (microseconds, no
+    Spark job). Bit-identical to :func:`build_key_bloom` over
+    :func:`model_table` of the same model."""
+    key_arrays = [
+        model.keys[n].view(np.uint64) for n in range(2, model.order + 1)
+    ]
+    n_keys = sum(len(a) for a in key_arrays)
+    nbits = _target_nbits(n_keys, bits_per_key, 1 << 34)
+    bm = np.zeros(nbits // 8, dtype=np.uint8)
+    for arr in key_arrays:
+        _set_bits(bm, arr, nbits)
+    return KeyBloom(nbits=nbits, k=_BLOOM_K, bits=bm.tobytes())
 
 
 def model_table(spark: SparkSession, model: NGramModel) -> DataFrame:
@@ -129,12 +280,47 @@ def score_with_join(
     bos_id: int,
     eos_id: int,
     id_type: str = "long",
+    key_bloom: KeyBloom | None = None,
 ) -> DataFrame:
     """(doc_id, log10_prob, oov_count, n_tokens) with KenLM semantics,
     computed without any broadcast of model state. ``id_type`` is the
-    Spark type of the doc_id column (e.g. "string" for image ids)."""
+    Spark type of the doc_id column (e.g. "string" for image ids).
+
+    ``key_bloom`` (see :func:`build_key_bloom`) prunes candidate n-grams
+    map-side BEFORE the shuffle into the model join: most high-order
+    candidates miss the model, and without the filter each one costs a
+    shuffled row. Exactness is preserved — the Bloom filter has no false
+    negatives, and a pruned candidate would have contributed nothing
+    downstream (the inner join would drop it)."""
+    cand = candidate_keys(
+        docs, text_col, vocab_df, order, bos_id, eos_id, id_type, key_bloom
+    )
+
+    # One inner equi-join (the scale step); every scored position keeps at
+    # least its unigram row because word ids always hit the n=1 table.
+    hits = cand.join(model_df, ["n", "key"])
+    return _reassemble(hits, order)
+
+
+def candidate_keys(
+    docs: DataFrame,
+    text_col: str,
+    vocab_df: DataFrame,
+    order: int,
+    bos_id: int,
+    eos_id: int,
+    id_type: str = "long",
+    key_bloom: KeyBloom | None = None,
+) -> DataFrame:
+    """The candidate stream: one row per (doc, end-position, order) whose
+    n-gram might hit the model — the input side of the scoring join.
+    Exposed separately so its volume (the join scorer's dominant shuffle
+    cost) can be measured directly with/without the Bloom prune."""
     spark = docs.sparkSession
     id_np_dtype = np.int64 if id_type == "long" else object
+    bloom_bc = (
+        spark.sparkContext.broadcast(key_bloom) if key_bloom is not None else None
+    )
 
     toks = docs.select(
         "doc_id", F.posexplode(tokenize(text_col)).alias("pos", "word")
@@ -195,10 +381,15 @@ def score_with_join(
                 shifted[: n - 1] = 0
                 keys[n - 1] = combine_word_hash_vec(keys[n - 2], shifted)
 
+            bloom = bloom_bc.value if bloom_bc is not None else None
             parts = []
             for n in range(1, order + 1):
                 # the n-gram ending at j exists iff it fits in the doc
                 mask = rel_pos >= n - 1
+                if n >= 2 and bloom is not None:
+                    # map-side candidate pruning: keys absent from the
+                    # model never reach the shuffle (no false negatives)
+                    mask = mask & bloom.contains(keys[n - 1].view(np.int64))
                 if mask.any():
                     parts.append(
                         pd.DataFrame(
@@ -214,14 +405,14 @@ def score_with_join(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    cand = seqs.mapInPandas(
+    return seqs.mapInPandas(
         gen_keys, f"doc_id {id_type}, pos int, n int, key long, wid long"
     )
 
-    # One inner equi-join (the scale step); every scored position keeps at
-    # least its unigram row because word ids always hit the n=1 table.
-    hits = cand.join(model_df, ["n", "key"])
 
+def _reassemble(hits: DataFrame, order: int) -> DataFrame:
+    """Per-position ARPA reassembly of the joined (candidate × model) rows
+    into token scores, then the per-doc rollup."""
     # Each joined row plays two roles: the gram match for its own end
     # position, and (shifted by one) a context-suffix backoff source for
     # the next position. JVM-side explode, then ONE groupBy reassembles a

@@ -95,13 +95,20 @@ class QualityFilterPipeline:
                 raise ValueError(
                     "join scorer implements learned-backoff semantics only"
                 )
+            from kenlm_spark.ngram.join_scorer import build_key_bloom
+
+            mdf = model_table(spark, model)
             self._join_model = (
-                model_table(spark, model),
+                mdf,
                 vocab_table(spark, model),
                 model.order,
                 model.bos_id,
                 model.eos_id,
             )
+            # one distributed pass over the model keys → broadcastable
+            # candidate filter (a few bits/key); prunes the join-scorer's
+            # O(order×tokens) shuffle map-side with zero semantic change
+            self._key_bloom = build_key_bloom(mdf)
             self.scorer = None
         else:
             self.scorer = SparkNGramScorer(
@@ -116,6 +123,7 @@ class QualityFilterPipeline:
         vocab_df: DataFrame,
         order: int,
         config: FilterConfig | None = None,
+        use_key_bloom: bool = True,
     ) -> "QualityFilterPipeline":
         """Build the pipeline from DISTRIBUTED model tables — no NGramModel,
         no driver collect, no broadcast. This is the 100-TB construction:
@@ -149,6 +157,12 @@ class QualityFilterPipeline:
             special.get(BOS, 0),
             special.get(EOS, 0),
         )
+        if use_key_bloom:
+            from kenlm_spark.ngram.join_scorer import build_key_bloom
+
+            self._key_bloom = build_key_bloom(model_df)
+        else:
+            self._key_bloom = None
         self.scorer = None
         return self
 
@@ -162,6 +176,7 @@ class QualityFilterPipeline:
         scored = score_with_join(
             docs, "text", model_df, vocab_df, order, bos, eos,
             id_type=df.schema["image_id"].dataType.simpleString(),
+            key_bloom=getattr(self, "_key_bloom", None),
         )
         scored = scored.select(
             F.col("doc_id").alias("image_id"),
