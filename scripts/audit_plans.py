@@ -128,6 +128,19 @@ def main() -> None:
         "  parquet scan + the ensure_min_partitions round-robin. The bench",
         "  runs 53 queries in one shared JVM; sub-second entries absorb GC",
         "  from heavier neighbors (q_langid_nb runs nearby since r2).",
+        "- **q_quality_filter r2→r3 'regression' root-caused (r4):**",
+        "  0.099s→0.46s in bench context with quality.py and the query",
+        "  untouched. Isolated protocol (same as the q_quality_metrics",
+        "  case): fresh-plan steady state is 0.19s with the",
+        "  ensure_min_partitions exchange and 0.13-0.15s without it;",
+        "  executed plan is unchanged (1 parquet scan + 1 round-robin",
+        "  Exchange, whole-stage codegen, zero Python). The bench delta is",
+        "  shared-JVM context — measured 0.19s → 0.52s for the IDENTICAL",
+        "  fresh plan depending on how much broadcast/GC state the session",
+        "  has accumulated (sessions with the LM model + Bloom broadcasts",
+        "  resident run it 2.5× slower). Named cause: neighbor-induced GC/",
+        "  codegen-cache pressure on a 0.1s-class query, not a plan or code",
+        "  change; the r2 0.099s was the same query in a lighter JVM.",
         "- **Collect-free flagship evidence** (estimate → exported bucketed",
         "  model tables → join-scored pipeline, 0 Exchange above the model",
         "  scan): see BENCH/FLAGSHIP.md (scripts/flagship_collectfree_demo.py).",
