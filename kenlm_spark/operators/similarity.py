@@ -224,6 +224,7 @@ def embedding_near_dups(
     n_planes: int = 16,
     n_tables: int = 8,
     max_bucket: int = 2000,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t).
 
@@ -242,8 +243,20 @@ def embedding_near_dups(
     contract as the MinHash ``max_bucket`` — dense clusters beyond it are
     silently skipped). Deterministic md5 hyperplanes make the LSH path
     itself oracle-checkable (``embedding_near_dups_sql(use_lsh=True)``).
+
+    The exact path refuses inputs above ``max_exact_rows`` (default 100k
+    ≈ 5e9 comparisons): at larger N the O(n²) cross join is a cluster
+    accident, not a slow query — callers there must opt into
+    ``use_lsh=True`` (or raise the guard deliberately).
     """
     if not use_lsh:
+        n_rows = emb.count()
+        if n_rows > max_exact_rows:
+            raise ValueError(
+                f"embedding_near_dups exact path on {n_rows} rows would "
+                f"cross-join O(n²); pass use_lsh=True (bucketed + exact "
+                f"verify) or raise max_exact_rows explicitly"
+            )
         dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
         normed = _normalized(emb, id_col, vec_col, dim, checkpoint=True)
         spark = emb.sparkSession

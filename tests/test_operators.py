@@ -183,6 +183,23 @@ def test_embedding_lsh_dedup_subset_of_exact(spark, emb):
     assert all(exact[p] == s for p, s in lsh.items())
 
 
+def test_embedding_exact_path_size_guard(spark):
+    """The exact O(n²) path must fail fast above max_exact_rows instead of
+    silently cross-joining an arbitrarily large DataFrame; use_lsh=True
+    and an explicitly raised guard both proceed."""
+    from kenlm_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        embedding_near_dups(df, max_exact_rows=10)
+    # explicit override keeps the old contract reachable
+    embedding_near_dups(df, max_exact_rows=100).collect()
+    # the LSH scale path never hits the guard
+    embedding_near_dups(df, use_lsh=True, max_exact_rows=10).collect()
+
+
 def test_pandas_topk_matches_catalyst(spark, emb):
     from kenlm_spark.operators.similarity import (
         brute_force_topk,
