@@ -5,10 +5,12 @@ convert an ARPA (or re-pack any readable binary) into a probing-layout
     python -m kenlm_spark.build_binary_cli in.arpa out.klm
     python -m kenlm_spark.build_binary_cli probing in.arpa out.klm
     python -m kenlm_spark.build_binary_cli -p 2.0 probing in.arpa out.klm
+    python -m kenlm_spark.build_binary_cli trie in.arpa out.klm
 
-Supported: the probing data structure (-p multiplier). Trie layouts are
-read-supported (kenlm_spark.ngram.trie) but not written — rebuild with
-the reference's build_binary if a trie file is required.
+Supported: the probing data structure (-p multiplier) and the plain
+trie (byte-identical to the reference's `build_binary trie` output —
+kenlm_spark/ngram/trie_writer.py). Quantized/array tries are
+read-supported but not written.
 """
 
 from __future__ import annotations
@@ -19,26 +21,27 @@ import sys
 def main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     multiplier = 1.5
+    kind = "probing"
     if "-p" in args:
         i = args.index("-p")
         multiplier = float(args[i + 1])
         del args[i : i + 2]
     if args and args[0] in ("probing", "trie"):
         kind = args.pop(0)
-        if kind == "trie":
-            print(
-                "error: trie layouts are read-supported but not written; "
-                "use the reference build_binary for trie output",
-                file=sys.stderr,
-            )
-            return 2
     if len(args) != 2:
         print(
-            "usage: build_binary_cli [-p MULT] [probing] INPUT OUTPUT.klm",
+            "usage: build_binary_cli [-p MULT] [probing|trie] INPUT "
+            "OUTPUT.klm",
             file=sys.stderr,
         )
         return 2
     src, dst = args
+
+    if kind == "trie":
+        from kenlm_spark.ngram.trie_writer import write_trie
+
+        write_trie(src, dst, multiplier=multiplier)
+        return 0
 
     from kenlm_spark.ngram.binary import load_model
     from kenlm_spark.ngram.binary_writer import write_binary

@@ -1,0 +1,97 @@
+"""TRIE binary writer (kenlm_spark/ngram/trie_writer.py).
+
+The strongest check available anywhere: our writer's output is compared
+BYTE-FOR-BYTE against the reference's own ``build_binary trie`` output —
+on the vendored fixture and on fuzzed random ARPA models with suffix
+holes (blank materialization) when the compiled reference is present.
+"""
+
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+from kenlm_spark.ngram.arpa import load_arpa
+from kenlm_spark.ngram.binary import load_binary
+from kenlm_spark.ngram.trie_writer import write_trie
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+ARPA = os.path.join(FIX, "test.arpa")
+TRIE_KLM = os.path.join(FIX, "test_trie.klm")
+
+SENTENCES = [
+    "looking on a little more loin",
+    "on a little more loin",
+    "screening on considering",
+    "foo bar zzz unknown",
+]
+
+
+def test_byte_identical_to_reference_fixture(tmp_path):
+    out = str(tmp_path / "ours.klm")
+    write_trie(ARPA, out)
+    with open(out, "rb") as a, open(TRIE_KLM, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_roundtrip_through_our_reader(tmp_path):
+    out = str(tmp_path / "ours.klm")
+    write_trie(ARPA, out)
+    mt = load_binary(out)
+    ma = load_arpa(ARPA)
+    assert mt.order == ma.order and mt.vocab.keys() == ma.vocab.keys()
+    for s in SENTENCES:
+        for (p1, l1, o1), (p2, l2, o2) in zip(
+            ma.full_scores(s), mt.full_scores(s)
+        ):
+            assert p2 == pytest.approx(p1, abs=1e-5)
+            assert (l1, o1) == (l2, o2)
+
+
+def test_missing_unk_rejected(tmp_path):
+    with pytest.raises(ValueError, match="<unk>"):
+        write_trie(os.path.join(FIX, "test_nounk.arpa"), str(tmp_path / "x"))
+
+
+def test_cli_trie_mode(tmp_path):
+    from kenlm_spark.build_binary_cli import main
+
+    out = str(tmp_path / "cli.klm")
+    assert main(["trie", ARPA, out]) == 0
+    with open(out, "rb") as a, open(TRIE_KLM, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_fuzz_byte_identical_vs_compiled_reference(tmp_path):
+    """Fuzzed random ARPAs (suffix holes → blank materialization, random
+    ±0.0 backoffs, optional order-3) must serialize to the EXACT bytes
+    the reference's build_binary emits."""
+    bb = "/tmp/refbuild/build_binary"
+    if not os.path.exists(bb):
+        pytest.skip("compiled reference not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from diff_reference import random_arpa
+
+    rng = random.Random(20260816)
+    done = 0
+    tries = 0
+    while done < 25 and tries < 200:
+        tries += 1
+        arpa = str(tmp_path / f"r{tries}.arpa")
+        random_arpa(rng, arpa)
+        with open(arpa) as fh:
+            text = fh.read()
+        if "<unk>" not in text:
+            continue  # trie requires <unk>; generator emits it ~70%
+        ref_out = str(tmp_path / f"ref{tries}.klm")
+        our_out = str(tmp_path / f"our{tries}.klm")
+        subprocess.run(
+            [bb, "trie", arpa, ref_out], check=True, capture_output=True
+        )
+        write_trie(arpa, our_out)
+        with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+            assert a.read() == b.read(), arpa
+        done += 1
+    assert done >= 20
