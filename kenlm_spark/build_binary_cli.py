@@ -6,11 +6,12 @@ convert an ARPA (or re-pack any readable binary) into a probing-layout
     python -m kenlm_spark.build_binary_cli probing in.arpa out.klm
     python -m kenlm_spark.build_binary_cli -p 2.0 probing in.arpa out.klm
     python -m kenlm_spark.build_binary_cli trie in.arpa out.klm
+    python -m kenlm_spark.build_binary_cli -q 8 -b 8 -a 22 trie in.arpa out.klm
 
-Supported: the probing data structure (-p multiplier) and the plain
-trie (byte-identical to the reference's `build_binary trie` output —
-kenlm_spark/ngram/trie_writer.py). Quantized/array tries are
-read-supported but not written.
+Supported: the probing data structure (-p multiplier) and all four trie
+layouts — plain, quantized (-q/-b), Bhiksha array-compressed pointers
+(-a), and both — each byte-identical to the reference's `build_binary`
+output for the same flags (kenlm_spark/ngram/trie_writer.py).
 """
 
 from __future__ import annotations
@@ -22,16 +23,27 @@ def main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     multiplier = 1.5
     kind = "probing"
-    if "-p" in args:
-        i = args.index("-p")
-        multiplier = float(args[i + 1])
-        del args[i : i + 2]
+    quant_bits = backoff_bits = array_bits = None
+
+    def take(flag, cast):
+        nonlocal args
+        if flag in args:
+            i = args.index(flag)
+            v = cast(args[i + 1])
+            del args[i : i + 2]
+            return v
+        return None
+
+    multiplier = take("-p", float) or 1.5
+    quant_bits = take("-q", int)
+    backoff_bits = take("-b", int)
+    array_bits = take("-a", int)
     if args and args[0] in ("probing", "trie"):
         kind = args.pop(0)
     if len(args) != 2:
         print(
-            "usage: build_binary_cli [-p MULT] [probing|trie] INPUT "
-            "OUTPUT.klm",
+            "usage: build_binary_cli [-p MULT] [-q BITS -b BITS] [-a BITS] "
+            "[probing|trie] INPUT OUTPUT.klm",
             file=sys.stderr,
         )
         return 2
@@ -40,7 +52,10 @@ def main(argv=None) -> int:
     if kind == "trie":
         from kenlm_spark.ngram.trie_writer import write_trie
 
-        write_trie(src, dst, multiplier=multiplier)
+        write_trie(
+            src, dst, multiplier=multiplier, quant_bits=quant_bits,
+            backoff_bits=backoff_bits, array_bits=array_bits,
+        )
         return 0
 
     from kenlm_spark.ngram.binary import load_model

@@ -60,10 +60,65 @@ from kenlm_spark.ngram.binary import (
 )
 from kenlm_spark.ngram.hashing import combine_word_hash, murmur_hash64a
 from kenlm_spark.ngram.model import UNK, NGramModel
+from kenlm_spark.ngram.trie import _chop_bits
 
 TRIE_TYPE = 2
 TRIE_SEARCH_VERSION = 1  # lm/search_trie.hh kVersion
 DEFAULT_MULTIPLIER = 1.5  # probing multiplier field is still in the header
+QUANT_VERSION = 2  # lm/quantize.cc kSeparatelyQuantizeVersion
+BHIKSHA_VERSION = 0  # lm/bhiksha.cc kArrayBhikshaVersion
+
+
+def _make_bins(values: np.ndarray, n_bins: int) -> np.ndarray:
+    """lm/quantize.cc MakeBins: sort, split into equal-count chunks, center
+    = double left-to-right sum / float32(count); zero-length bucket copies
+    the previous center (-inf for the first)."""
+    v = np.sort(values.astype(np.float32))
+    centers = np.empty(n_bins, dtype=np.float32)
+    start = 0
+    for i in range(n_bins):
+        finish = (len(v) * (i + 1)) // n_bins
+        if finish == start:
+            centers[i] = centers[i - 1] if i else -np.inf
+        else:
+            # double accumulation in sorted order (cumsum is sequential)
+            s = np.cumsum(v[start:finish], dtype=np.float64)[-1]
+            centers[i] = np.float32(s / np.float64(np.float32(finish - start)))
+        start = finish
+    return centers
+
+
+def _encode_nearest(
+    centers: np.ndarray, values: np.ndarray, reserved: int
+) -> np.ndarray:
+    """lm/quantize.hh Bins::Encode: lower_bound over centers[reserved:],
+    then nearest center with ties to the upper (float32 distance compare)."""
+    v = values.astype(np.float32)
+    above = np.searchsorted(centers[reserved:], v, side="left") + reserved
+    idx = np.empty(len(v), dtype=np.uint64)
+    lo_clip = np.minimum(above, len(centers) - 1)
+    prev = centers[np.maximum(lo_clip - 1, 0)]
+    take_lower = (v - prev) < (centers[lo_clip] - v)
+    nearest = lo_clip - np.where(take_lower, 1, 0)
+    idx[:] = np.where(
+        above == reserved,
+        reserved,
+        np.where(above == len(centers), len(centers) - 1, nearest),
+    )
+    return idx
+
+
+def _encode_backoff_bins(
+    centers: np.ndarray, values: np.ndarray
+) -> np.ndarray:
+    """EncodeBackoff: ±0.0 map to the reserved slots (sign bit chooses:
+    -0.0 → 0 kNoExtensionQuant, +0.0 → 1 kExtensionQuant); everything
+    else nearest-center over centers[2:]."""
+    v = values.astype(np.float32)
+    is_zero = v == 0.0
+    signbit = np.signbit(v)
+    enc = _encode_nearest(centers, v, 2)
+    return np.where(is_zero, np.where(signbit, 0, 1), enc).astype(np.uint64)
 
 
 def _required_bits(max_value: int) -> int:
@@ -136,10 +191,27 @@ def _model_lookup(model: NGramModel, n: int, keys: np.ndarray):
 
 
 def write_trie(arpa_path: str, out_path: str,
-               multiplier: float = DEFAULT_MULTIPLIER) -> None:
-    """Serialize an ARPA file as a plain-TRIE-layout KenLM v5 binary."""
+               multiplier: float = DEFAULT_MULTIPLIER,
+               quant_bits: int | None = None,
+               backoff_bits: int | None = None,
+               array_bits: int | None = None) -> None:
+    """Serialize an ARPA file as a TRIE-layout KenLM v5 binary.
+
+    ``quant_bits``/``backoff_bits`` (both or neither; the reference's
+    ``-q``/``-b``) emit the quantized layouts: per-order equal-count bins
+    (lm/quantize.cc MakeBins) with backoff slots 0/1 reserved for ∓0.0.
+    ``array_bits`` (the reference's ``-a``) emits Bhiksha-compressed next
+    pointers: per-middle uint64 offset arrays + inline low bits with the
+    ChopBits cost argmin (lm/bhiksha.cc). All four resulting model types
+    (2-5) are byte-identical to ``build_binary`` given the same flags."""
     from kenlm_spark.ngram.arpa import load_arpa
 
+    if (quant_bits is None) != (backoff_bits is None):
+        raise ValueError("pass both quant_bits and backoff_bits or neither")
+    quantized = quant_bits is not None
+    model_type = TRIE_TYPE + (1 if quantized else 0) + (
+        2 if array_bits is not None else 0
+    )
     model = load_arpa(arpa_path)
     order, grams = _read_raw_grams(arpa_path)
     if order < 2:
@@ -241,6 +313,28 @@ def write_trie(arpa_path: str, out_path: str,
             starts, len(child_suffix_rev)
         ).astype(np.uint64)
 
+    # ---- quantization tables (lm/quantize.cc Train/TrainProb): trained
+    # over every stored value of the order — real grams AND blanks (the
+    # reference feeds blank probs in via SRISucks "additional"); backoff
+    # training excludes exact ±0.0 (reserved slots represent those)
+    prob_tab: dict[int, np.ndarray] = {}
+    back_tab: dict[int, np.ndarray] = {}
+    if quantized:
+        for li in range(len(levels) - 1):
+            n = li + 2
+            prob_tab[n] = _make_bins(levels[li]["prob"], 1 << quant_bits)
+            bo = levels[li]["backoff"].astype(np.float32)
+            back_tab[n] = np.concatenate(
+                [
+                    np.array([-0.0, 0.0], dtype=np.float32),
+                    _make_bins(bo[bo != 0.0], (1 << backoff_bits) - 2),
+                ]
+            )
+        prob_tab[order] = _make_bins(levels[-1]["prob"], 1 << quant_bits)
+        mid_qbits, long_qbits = quant_bits + backoff_bits, quant_bits
+    else:
+        mid_qbits, long_qbits = 63, 31
+
     # ---- assemble the file
     out = bytearray()
     out += MAGIC + b"\x00" * (_MAGIC_FIELD - len(MAGIC))
@@ -250,7 +344,7 @@ def write_trie(arpa_path: str, out_path: str,
     assert len(out) == _SANITY_SIZE
     out += struct.pack("<B3x", order)
     out += struct.pack("<f", multiplier)
-    out += struct.pack("<i", TRIE_TYPE)
+    out += struct.pack("<i", model_type)
     out += struct.pack("<B3x", 1)  # has_vocabulary
     out += struct.pack("<I", TRIE_SEARCH_VERSION)
     assert len(out) == _SANITY_SIZE + _FIXED_SIZE
@@ -261,6 +355,17 @@ def write_trie(arpa_path: str, out_path: str,
     out += struct.pack("<Q", len(hashes))
     out += hashes[hsort].tobytes()
     out += b"\x00" * 8  # region is sized for counts[0] hashes + header
+
+    # quant region: 8-byte header then per-middle (prob, backoff) tables
+    # and the longest prob table (lm/quantize.cc SetupMemory layout)
+    if quantized:
+        out += struct.pack(
+            "<3B5x", QUANT_VERSION, quant_bits, backoff_bits
+        )
+        for li in range(len(levels) - 1):
+            out += prob_tab[li + 2].tobytes()
+            out += back_tab[li + 2].tobytes()
+        out += prob_tab[order].tobytes()
 
     # unigram array: counts[0]+2 records; [bound] = sentinel next
     uni = np.zeros(bound + 2,
@@ -274,39 +379,82 @@ def write_trie(arpa_path: str, out_path: str,
     uni["n"][bound] = uni_next[bound]
     out += uni.tobytes()
 
-    # middles: word | prob31 | backoff32 | next-inline, LSB-first
+    # middles: word | value | next, LSB-first. value = 31-bit prob +
+    # f32 backoff (plain) or backoff-bin + prob-bin indices (quantized);
+    # next = full inline pointer (plain) or Bhiksha offset-array + low
+    # bits (array layouts)
     for li in range(len(levels) - 1):
         n = li + 2
         entries = counts_fixed[n - 1]
-        inline = _required_bits(counts_fixed[n])
-        total = word_bits + 63 + inline
+        max_next = counts_fixed[n]
+        nxt = levels[li]["next"]
+        if array_bits is not None:
+            required = _required_bits(max_next)
+            chop = _chop_bits(entries + 1, max_next, array_bits)
+            inline = required - chop
+            acount = (max_next >> (required - chop)) + 1
+            # Bhiksha region: 2-byte header at the (possibly unaligned)
+            # base, u64 offsets at ALIGN8(base)+8, sized 8*(1+acount)+7
+            off0 = len(out)
+            breg = bytearray(8 * (1 + acount) + 7)
+            breg[0] = BHIKSHA_VERSION
+            breg[1] = array_bits
+            highs = (nxt >> np.uint64(inline)) if inline else nxt
+            offsets = np.searchsorted(
+                highs, np.arange(acount, dtype=np.uint64), side="left"
+            ).astype("<u8")
+            pos = _align8(off0) + 8 - off0
+            breg[pos : pos + 8 * acount] = offsets.tobytes()
+            out += breg
+            low = (
+                nxt & np.uint64((1 << inline) - 1) if inline else
+                np.zeros(len(nxt), dtype=np.uint64)
+            )
+        else:
+            inline = _required_bits(max_next)
+            low = nxt
+        total = word_bits + mid_qbits + inline
         region = np.zeros(((1 + entries) * total + 7) // 8 + 8, dtype=np.uint8)
         offs = np.arange(entries, dtype=np.uint64) * np.uint64(total)
         _scatter_bits(region, offs, levels[li]["words"], word_bits)
-        p31 = levels[li]["prob"].astype(np.float32).view(np.uint32) & np.uint32(
-            0x7FFFFFFF
-        )
-        _scatter_bits(region, offs + np.uint64(word_bits), p31, 31)
-        b32 = levels[li]["backoff"].astype(np.float32).view(np.uint32)
-        _scatter_bits(region, offs + np.uint64(word_bits + 31), b32, 32)
+        if quantized:
+            bidx = _encode_backoff_bins(back_tab[n], levels[li]["backoff"])
+            pidx = _encode_nearest(prob_tab[n], levels[li]["prob"], 0)
+            _scatter_bits(
+                region, offs + np.uint64(word_bits), bidx, backoff_bits
+            )
+            _scatter_bits(
+                region, offs + np.uint64(word_bits + backoff_bits),
+                pidx, quant_bits,
+            )
+        else:
+            p31 = levels[li]["prob"].astype(np.float32).view(
+                np.uint32
+            ) & np.uint32(0x7FFFFFFF)
+            _scatter_bits(region, offs + np.uint64(word_bits), p31, 31)
+            b32 = levels[li]["backoff"].astype(np.float32).view(np.uint32)
+            _scatter_bits(region, offs + np.uint64(word_bits + 31), b32, 32)
         if inline:
             offs1 = np.arange(entries + 1, dtype=np.uint64) * np.uint64(total)
             _scatter_bits(
-                region, offs1 + np.uint64(word_bits + 63),
-                levels[li]["next"], inline,
+                region, offs1 + np.uint64(word_bits + mid_qbits), low, inline
             )
         out += region.tobytes()
 
-    # longest: word | prob31
+    # longest: word | prob (31-bit float or prob-bin index)
     entries = counts_fixed[order - 1]
-    total = word_bits + 31
+    total = word_bits + long_qbits
     region = np.zeros(((1 + entries) * total + 7) // 8 + 8, dtype=np.uint8)
     offs = np.arange(entries, dtype=np.uint64) * np.uint64(total)
     _scatter_bits(region, offs, levels[-1]["words"], word_bits)
-    p31 = levels[-1]["prob"].astype(np.float32).view(np.uint32) & np.uint32(
-        0x7FFFFFFF
-    )
-    _scatter_bits(region, offs + np.uint64(word_bits), p31, 31)
+    if quantized:
+        pidx = _encode_nearest(prob_tab[order], levels[-1]["prob"], 0)
+        _scatter_bits(region, offs + np.uint64(word_bits), pidx, quant_bits)
+    else:
+        p31 = levels[-1]["prob"].astype(np.float32).view(np.uint32) & np.uint32(
+            0x7FFFFFFF
+        )
+        _scatter_bits(region, offs + np.uint64(word_bits), p31, 31)
     out += region.tobytes()
 
     # vocab strings, id order, NUL-joined

@@ -136,7 +136,12 @@ def test_build_binary_cli(tmp_path):
     ma, mb = load_arpa(ARPA), load_binary(out)
     for s in ["looking on a little more loin", "foo bar zzz unknown"]:
         assert mb.score(s) == pytest.approx(ma.score(s), abs=1e-6)
-    assert bb_main(["trie", ARPA, out]) == 2  # write-side trie refused
+    # trie write now supported (byte-identical tests in test_trie_writer)
+    out_trie = str(tmp_path / "out_trie.klm")
+    assert bb_main(["trie", ARPA, out_trie]) == 0
+    assert load_binary(out_trie).score("foo bar zzz unknown") == pytest.approx(
+        ma.score("foo bar zzz unknown"), abs=1e-6
+    )
     # custom multiplier round-trips too
     out2 = str(tmp_path / "p3.klm")
     assert bb_main(["-p", "3.0", "probing", ARPA, out2]) == 0

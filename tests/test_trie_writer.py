@@ -29,10 +29,27 @@ SENTENCES = [
 ]
 
 
-def test_byte_identical_to_reference_fixture(tmp_path):
+VARIANTS = {
+    "test_trie.klm": ({}, ["trie"]),
+    "test_trie_quant.klm": (
+        dict(quant_bits=8, backoff_bits=8), ["-q", "8", "-b", "8", "trie"],
+    ),
+    "test_trie_array.klm": (dict(array_bits=22), ["-a", "22", "trie"]),
+    "test_trie_quant_array.klm": (
+        dict(quant_bits=8, backoff_bits=8, array_bits=22),
+        ["-a", "22", "-q", "8", "-b", "8", "trie"],
+    ),
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(VARIANTS))
+def test_byte_identical_to_reference_fixture(tmp_path, fixture):
+    """All four layouts (plain / quantized / Bhiksha array / both) must
+    serialize to the exact bytes the reference's build_binary produced."""
+    kwargs, _ = VARIANTS[fixture]
     out = str(tmp_path / "ours.klm")
-    write_trie(ARPA, out)
-    with open(out, "rb") as a, open(TRIE_KLM, "rb") as b:
+    write_trie(ARPA, out, **kwargs)
+    with open(out, "rb") as a, open(os.path.join(FIX, fixture), "rb") as b:
         assert a.read() == b.read()
 
 
@@ -85,13 +102,14 @@ def test_fuzz_byte_identical_vs_compiled_reference(tmp_path):
             text = fh.read()
         if "<unk>" not in text:
             continue  # trie requires <unk>; generator emits it ~70%
-        ref_out = str(tmp_path / f"ref{tries}.klm")
-        our_out = str(tmp_path / f"our{tries}.klm")
-        subprocess.run(
-            [bb, "trie", arpa, ref_out], check=True, capture_output=True
-        )
-        write_trie(arpa, our_out)
-        with open(ref_out, "rb") as a, open(our_out, "rb") as b:
-            assert a.read() == b.read(), arpa
+        for fixture, (kwargs, flags) in VARIANTS.items():
+            ref_out = str(tmp_path / f"ref{tries}.klm")
+            our_out = str(tmp_path / f"our{tries}.klm")
+            subprocess.run(
+                [bb, *flags, arpa, ref_out], check=True, capture_output=True
+            )
+            write_trie(arpa, our_out, **kwargs)
+            with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+                assert a.read() == b.read(), (arpa, fixture)
         done += 1
     assert done >= 20
