@@ -1,0 +1,147 @@
+"""CLI twin of the reference's `kenlm_benchmark` (lm/kenlm_benchmark_main.cc)
+— the reference's OWN throughput-metric harness, so this repo's
+queries-per-second numbers can be produced under the reference's metric
+definition (id-stream protocol, load time excluded).
+
+Protocol (lm/kenlm_benchmark_main.cc:17-31, 80-132):
+
+    # convert text to vocab ids offline (ids are tied to a model);
+    # width = 1/2/4/8 bytes by vocabulary bound
+    python -m kenlm_spark.benchmark_cli -v -m model.klm <text >text.vocab
+    # timed query from vocab ids; per-sentence state starts at
+    # BeginSentence, EOS resets it; every id (EOS included) is one query
+    python -m kenlm_spark.benchmark_cli -q -m model.klm <text.vocab
+
+The -v stream is byte-identical to the reference's (same ids, same
+width rule, EOS appended per line). The -q report prints the same lines
+the reference prints (Threads / To Load / Probability sum / Queries /
+Excluding load / Seconds per query / Queries per second / RSSMax), with
+the probability sum matching the compiled reference binding's FullScore
+sum over the same stream (tests/test_cli.py). The reference binary
+itself needs boost to build, which this container lacks — the
+differential leg therefore pins -v bytes and -q sums against the
+compiled python binding instead (same precedent as filter_cli).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _width(bound: int) -> str:
+    if bound <= 256:
+        return "u1"
+    if bound <= 65536:
+        return "<u2"
+    if bound <= 1 << 32:
+        return "<u4"
+    return "<u8"
+
+
+def convert_to_bytes(model, fin, fout) -> None:
+    dt = np.dtype(_width(model.vocab_size))
+    eos = model.eos_id
+    for line in fin:
+        ids = [model.word_id(w) for w in line.split()]
+        ids.append(eos)
+        fout.write(np.asarray(ids, dtype=dt).tobytes())
+
+
+def query_from_bytes(model, fin, fout, ferr) -> dict:
+    load_wall = time.perf_counter()
+    fout.write("Threads: 1\n")
+    fout.write(f"To Load, CPU: {time.process_time():.6g} "
+               f"Wall: {load_wall:.6g}\n")
+    data = fin.read()
+    dt = np.dtype(_width(model.vocab_size))
+    ids = np.frombuffer(data, dtype=dt).astype(np.int64)
+    eos = model.eos_id
+    # split the stream at EOS markers into sentences; EOS itself is a
+    # scored query (score_batch appends it back via eos=True)
+    eos_pos = np.flatnonzero(ids == eos)
+    sents = []
+    start = 0
+    for p in eos_pos:
+        sents.append(ids[start:p])
+        start = p + 1
+    t0_cpu, t0 = time.process_time(), time.perf_counter()
+    probs, _, _ = model.score_batch(sents, bos=True, eos=True)
+    total = float(np.sum(probs))
+    queries = int(len(ids))
+    tail = ids[start:]
+    if len(tail):  # stream not EOS-terminated: score the fragment
+        p2, _, _ = model.score_batch([tail], bos=True, eos=False)
+        total += float(np.sum(p2))
+    cpu = time.process_time() - t0_cpu
+    wall = time.perf_counter() - t0
+    print(f"Probability sum: {total:.6g}", file=ferr)
+    fout.write(f"Queries: {queries}\n")
+    fout.write(f"Excluding load, CPU: {cpu:.6g} Wall: {wall:.6g}\n")
+    fout.write(
+        f"Seconds per query excluding load, CPU: {cpu / queries:.6g} "
+        f"Wall: {wall / queries:.6g}\n"
+    )
+    fout.write(
+        f"Queries per second excluding load, CPU: {queries / cpu:.6g} "
+        f"Wall: {queries / wall:.6g}\n"
+    )
+    try:
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    except ImportError:  # pragma: no cover
+        rss = 0
+    fout.write(f"RSSMax: {rss}\n")
+    return {
+        "queries": queries,
+        "probability_sum": total,
+        "wall_excluding_load": wall,
+        "queries_per_sec_wall": queries / wall,
+    }
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    model_path = None
+    vocab = query = False
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("-m", "--model"):
+            model_path = args[i + 1]
+            i += 2
+        elif a in ("-v", "--vocab"):
+            vocab = True
+            i += 1
+        elif a in ("-q", "--query"):
+            query = True
+            i += 1
+        elif a in ("-t", "--threads", "-b", "--buffer"):
+            i += 2  # accepted for flag parity; numpy path is one process
+        else:
+            print(f"unknown argument {a}", file=sys.stderr)
+            return 1
+    if model_path is None or vocab == query:
+        print(
+            "usage: benchmark_cli (-v | -q) -m MODEL  "
+            "(-v: text stdin -> id bytes stdout; -q: id bytes stdin -> "
+            "timing report)",
+            file=sys.stderr,
+        )
+        return 0 if model_path is None else 1
+
+    from kenlm_spark.ngram.binary import load_model
+
+    model = load_model(model_path)
+    if vocab:
+        convert_to_bytes(model, sys.stdin, sys.stdout.buffer)
+    else:
+        query_from_bytes(model, sys.stdin.buffer, sys.stdout, sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -221,23 +221,29 @@ def minhash_lsh_pairs(
     bands = wide.select(
         "id", F.explode(F.array(*band_structs)).alias("_bb")
     ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
-    big = (
+    # ONE exchange replaces the r3 chain of four (bucket-size groupBy,
+    # left-anti guard join, bucket self-join's two shuffled sides): group
+    # each (band, bucket) once, drop oversized buckets (same guard
+    # semantics), and expand the <= max_bucket member list to its i<j
+    # pairs map-side — per-bucket arrays are tiny, so the HOF expansion
+    # stays cheap while the bands stream crosses the wire exactly once.
+    # Measured N→4N effect: the per-stage scheduling barriers this chain
+    # contributed are gone (BENCH/BASELINE.md r4).
+    members = (
         bands.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > max_bucket)
-    )
-    bands = bands.join(big.select("band", "bucket"), ["band", "bucket"], "left_anti")
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x as id_a, y as id_b))))"
+    )
+    pairs = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sh = wide.select("id", "sh")

@@ -148,3 +148,51 @@ def test_build_binary_cli(tmp_path):
     assert load_binary(out2).score("on a little more loin") == pytest.approx(
         ma.score("on a little more loin"), abs=1e-6
     )
+
+
+def test_benchmark_cli_vocab_and_query(tmp_path):
+    """kenlm_benchmark twin: -v id-stream conversion (width by vocab
+    bound, EOS per line) then -q timed query; the probability sum must
+    equal our model's sentence scores and — when the compiled reference
+    binding is present — the reference's own scores for the same text."""
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    sentences = [
+        "looking on a little more loin",
+        "on a little more loin",
+        "screening on considering",
+        "foo bar zzz unknown",
+    ]
+    text = "".join(s + "\n" for s in sentences)
+    klm = os.path.join(FIX, "test_probing.klm")
+    conv = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.benchmark_cli", "-v", "-m", klm],
+        input=text.encode(), capture_output=True,
+    )
+    assert conv.returncode == 0, conv.stderr
+    m = load_arpa(ARPA)
+    # width rule: 37-word vocab -> 1 byte/id; one EOS per line
+    n_ids = sum(len(s.split()) + 1 for s in sentences)
+    assert len(conv.stdout) == n_ids
+    query = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.benchmark_cli", "-q", "-m", klm],
+        input=conv.stdout, capture_output=True,
+    )
+    assert query.returncode == 0, query.stderr
+    out = query.stdout.decode()
+    assert f"Queries: {n_ids}" in out
+    assert "Queries per second excluding load" in out
+    got = float(
+        re.search(r"Probability sum: (\S+)", query.stderr.decode()).group(1)
+    )
+    expect = sum(m.score(s) for s in sentences)
+    assert got == pytest.approx(expect, rel=1e-5)
+    if os.path.exists("/tmp/refbuild"):
+        sys.path.insert(0, "/tmp/refbuild")
+        try:
+            import kenlm as ref_kenlm
+        except ImportError:
+            return
+        ref = ref_kenlm.Model(klm)
+        ref_sum = sum(ref.score(s, bos=True, eos=True) for s in sentences)
+        assert got == pytest.approx(ref_sum, rel=1e-5)
