@@ -400,6 +400,74 @@ def write_arpa(model_rows: list, order: int, path: str) -> None:
         fh.write("\\end\\\n")
 
 
+def write_arpa_distributed(model_df: DataFrame, order: int, path: str) -> None:
+    """Distributed ARPA writer: per-order globally-sorted text parts
+    merged into one file by STREAMING byte concatenation — the driver
+    never materializes a row, so a 100-TB-corpus model (too big for
+    ``model_df.collect()``) exports with bounded driver memory.
+
+    Lines are formatted executor-side in the exact Python ``%.7f`` style
+    of :func:`write_arpa` (same rounding), per-order ``orderBy(words)``
+    (Spark's array<string> ordering == Python list-of-str sort), so the
+    output is byte-identical to the collect path (pytest-pinned).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    counts = {
+        r["order"]: r["n"]
+        for r in model_df.groupBy("order").agg(F.count("*").alias("n")).collect()
+    }
+
+    def fmt(last: bool):
+        def inner(batches):
+            for pdf in batches:
+                lines = []
+                for words, prob, bo in zip(
+                    pdf["words"], pdf["log10_prob"], pdf["log10_backoff"]
+                ):
+                    gram = " ".join(words)
+                    if not last and bo != 0.0:
+                        lines.append(f"{prob:.7f}\t{gram}\t{bo:.7f}")
+                    else:
+                        lines.append(f"{prob:.7f}\t{gram}")
+                yield pd.DataFrame({"value": lines})
+
+        return inner
+
+    tmp = tempfile.mkdtemp(prefix="arpa_parts_")
+    try:
+        with open(path, "w") as fh:
+            fh.write("\\data\\\n")
+            for n in range(1, order + 1):
+                fh.write(f"ngram {n}={counts.get(n, 0)}\n")
+            fh.write("\n")
+        for n in range(1, order + 1):
+            part_dir = f"{tmp}/order_{n}"
+            (
+                model_df.filter(F.col("order") == n)
+                .orderBy("words")
+                .mapInPandas(fmt(n == order), "value string")
+                .write.mode("overwrite")
+                .text(part_dir)
+            )
+            with open(path, "ab") as fh:
+                fh.write(f"\\{n}-grams:\n".encode())
+                # orderBy range-partitions: part files are globally
+                # ordered by filename; stream their bytes straight through
+                for part in sorted(glob.glob(f"{part_dir}/part-*")):
+                    with open(part, "rb") as pf:
+                        shutil.copyfileobj(pf, fh)
+                fh.write(b"\n")
+        with open(path, "a") as fh:
+            fh.write("\\end\\\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def export_model_tables(
     model_df: DataFrame, order: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     ap.add_argument("--text_col", default="text",
                     help="text column when --text is parquet")
     ap.add_argument("--master", default="local[*]")
+    ap.add_argument(
+        "--collect_threshold", type=int, default=2_000_000,
+        help="models larger than this many n-grams stream out via the "
+        "distributed per-order-sorted writer instead of a driver collect "
+        "(0 forces the distributed path)",
+    )
     args = ap.parse_args(argv)
 
     if args.order < 1:
@@ -88,13 +94,21 @@ def main(argv=None) -> int:
         docs, "text", order=args.order,
         fallback_discount=fallback, prune_thresholds=prune,
     )
-    rows = model_df.collect()
-    if args.arpa:
-        write_arpa(rows, args.order, args.arpa)
+    # large models stream out distributed (per-order sorted part files +
+    # byte merge, no driver materialization); small ones take the collect
+    # fast path — byte-identical outputs (tests/test_estimator.py)
+    if args.arpa and model_df.count() > args.collect_threshold:
+        from kenlm_spark.estimator import write_arpa_distributed
+
+        write_arpa_distributed(model_df, args.order, args.arpa)
     else:
-        with tempfile.NamedTemporaryFile("r", suffix=".arpa") as fh:
-            write_arpa(rows, args.order, fh.name)
-            sys.stdout.write(open(fh.name).read())
+        rows = model_df.collect()
+        if args.arpa:
+            write_arpa(rows, args.order, args.arpa)
+        else:
+            with tempfile.NamedTemporaryFile("r", suffix=".arpa") as fh:
+                write_arpa(rows, args.order, fh.name)
+                sys.stdout.write(open(fh.name).read())
     if not preexisting:  # don't tear down a caller's (e.g. pytest's) session
         spark.stop()
     return 0

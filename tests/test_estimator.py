@@ -390,3 +390,37 @@ def test_write_read_model_tables_bucketed(estimated, spark, tmp_path):
     for doc_id, text in [(1, "the data table"), (2, "row value part"),
                          (3, "zzz unseen")]:
         assert got[doc_id] == pytest.approx(m.score(text), abs=1e-5)
+
+
+def test_write_arpa_distributed_byte_identical(spark, sf_dir, tmp_path):
+    """The streaming per-order-sorted writer must emit byte-identical
+    output to the collect-path writer, and the COMPILED reference must
+    parse and score it (when present)."""
+    import os
+    import sys
+
+    from kenlm_spark.estimator import write_arpa, write_arpa_distributed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    model_df, _ = estimate(docs, "text", order=3)
+    a = str(tmp_path / "collect.arpa")
+    b = str(tmp_path / "dist.arpa")
+    write_arpa(model_df.collect(), 3, a)
+    write_arpa_distributed(model_df, 3, b)
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    ours = load_arpa(b)
+    if os.path.exists("/tmp/refbuild"):
+        sys.path.insert(0, "/tmp/refbuild")
+        try:
+            import kenlm as ref_kenlm
+        except ImportError:
+            return
+        ref = ref_kenlm.Model(b)
+        for s in ["the quick brown fox", "data processing pipeline"]:
+            assert ours.score(s) == pytest.approx(
+                ref.score(s, bos=True, eos=True), abs=1e-4
+            )
