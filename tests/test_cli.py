@@ -196,3 +196,64 @@ def test_benchmark_cli_vocab_and_query(tmp_path):
         ref = ref_kenlm.Model(klm)
         ref_sum = sum(ref.score(s, bos=True, eos=True) for s in sentences)
         assert got == pytest.approx(ref_sum, rel=1e-5)
+
+
+def test_count_ngrams_dump_counts_roundtrip(tmp_path, spark):
+    """count_ngrams/dump_counts twins: binary record format (order×u32 +
+    u64, SuffixOrder) + NUL vocab list round-trip to the transcribed
+    corpus_count_test.cc golden window counts."""
+    import struct
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "looking on a little more loin\n"
+        "on a little more loin\n"
+        "on foo little more loin\n"
+        "bar\n"
+        "\n"
+    )
+    counts_bin = str(tmp_path / "counts.bin")
+    vocab_bin = str(tmp_path / "vocab.bin")
+
+    from kenlm_spark.count_ngrams_cli import main as cn_main
+
+    assert cn_main(
+        ["-o", "3", "--write_vocab_list", vocab_bin, "--text", str(corpus),
+         "--out", counts_bin, "--master", "local[4]"]
+    ) == 0
+
+    # vocab list: specials first, then first-appearance order
+    words = open(vocab_bin, "rb").read().decode().split("\x00")[:-1]
+    assert words[:3] == ["<unk>", "<s>", "</s>"]
+    assert words[3:] == ["looking", "on", "a", "little", "more", "loin",
+                         "foo", "bar"]
+
+    # SuffixOrder: reversed-id tuples must be sorted ascending
+    raw = open(counts_bin, "rb").read()
+    rec = struct.Struct("<3IQ")
+    assert len(raw) % rec.size == 0
+    recs = [rec.unpack_from(raw, i) for i in range(0, len(raw), rec.size)]
+    rev = [tuple(reversed(r[:3])) for r in recs]
+    assert rev == sorted(rev)
+
+    from kenlm_spark.dump_counts_cli import main as dc_main
+
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        assert dc_main([counts_bin, vocab_bin, "3"]) == 0
+        dumped = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old
+    got = {}
+    for line in dumped.splitlines():
+        parts = line.split(" ")
+        got[" ".join(parts[:3])] = int(parts[3])
+    golden = {
+        "<s> <s> looking": 1, "<s> looking on": 1, "looking on a": 1,
+        "on a little": 2, "a little more": 2, "little more loin": 3,
+        "more loin </s>": 3, "<s> <s> on": 2, "<s> on a": 1, "<s> on foo": 1,
+        "on foo little": 1, "foo little more": 1, "<s> <s> bar": 1,
+        "<s> bar </s>": 1, "<s> <s> </s>": 1,
+    }
+    assert got == golden
