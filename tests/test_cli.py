@@ -257,3 +257,63 @@ def test_count_ngrams_dump_counts_roundtrip(tmp_path, spark):
         "<s> bar </s>": 1, "<s> <s> </s>": 1,
     }
     assert got == golden
+
+
+def test_interpolate_cli(tmp_path, spark):
+    """interpolate twin: fixed-weight merge emits an ARPA our loader and
+    the compiled reference both score; --just_tune prints the Newton
+    weights from the ported tune_derivatives math."""
+    a = os.path.join(FIX, "tune_a.arpa")
+    b = os.path.join(FIX, "tune_b.arpa")
+    out = str(tmp_path / "mix.arpa")
+
+    from kenlm_spark.interpolate_cli import main as ip_main
+
+    assert ip_main(["-m", a, b, "-w", "0.6", "0.4", "--arpa", out,
+                    "--master", "local[4]"]) == 0
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    mixed = load_arpa(out)
+    ma, mb = load_arpa(a), load_arpa(b)
+    # a unigram present in both models must mix as log10(0.6*pa + 0.4*pb)
+    import math
+
+    w = "the"
+    pa = 10 ** ma.uni_prob[ma.vocab[w]]
+    pb = 10 ** mb.uni_prob[mb.vocab[w]]
+    assert float(mixed.uni_prob[mixed.vocab[w]]) == pytest.approx(
+        math.log10(0.6 * pa + 0.4 * pb), abs=1e-5
+    )
+    if os.path.exists("/tmp/refbuild"):
+        sys.path.insert(0, "/tmp/refbuild")
+        try:
+            import kenlm as ref_kenlm
+        except ImportError:
+            return
+        ref = ref_kenlm.Model(out)
+        for s in ["the table has rows", "executors run the shuffle"]:
+            assert mixed.score(s) == pytest.approx(
+                ref.score(s, bos=True, eos=True), abs=1e-4
+            )
+
+
+def test_interpolate_cli_just_tune(tmp_path):
+    a = os.path.join(FIX, "tune_a.arpa")
+    b = os.path.join(FIX, "tune_b.arpa")
+    heldout = tmp_path / "heldout.txt"
+    heldout.write_text(
+        "the query joins the table rows\n"
+        "executors run the shuffle quickly\n"
+    )
+
+    from kenlm_spark.interpolate_cli import main as ip_main
+
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        assert ip_main(["-m", a, b, "-t", str(heldout), "--just_tune"]) == 0
+        weights = [float(x) for x in sys.stdout.getvalue().split()]
+    finally:
+        sys.stdout = old
+    assert len(weights) == 2 and all(abs(w) < 10 for w in weights)
