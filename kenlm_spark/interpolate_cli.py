@@ -10,11 +10,11 @@ weights and emit one ARPA.
         --arpa out.arpa
 
 Flag parity with interpolate_main.cc:60-70: -m/--model (several),
--w/--weight, -t/--tuning (one sentence per line), --just_tune. Two
-documented divergences from the reference binary: (1) inputs are ARPA
-files, not lmplz --intermediate ModelBuffer directories (this engine's
-estimator exports ARPA; kenlm users convert with lmplz either way);
-(2) the merge applied with the (normalized) weights is the
+-w/--weight, -t/--tuning (one sentence per line), --just_tune. -m
+accepts BOTH the reference's input — a ModelBuffer base written by
+``lmplz --intermediate`` (kenlm_spark/ngram/model_buffer.py) — and
+plain ARPA files. One documented divergence: the merge applied with
+the (normalized) weights is the
 linear-interpolation semantics of
 kenlm_spark/operators/interpolate_models.py (oracle-checked,
 q_interpolate_models / q_interpolate_tuned) rather than the reference
@@ -47,9 +47,25 @@ def main(argv=None) -> int:
     if not args.weight and not args.tuning:
         ap.error("specify -w weights or -t tuning text")
 
+    import os
+
     from kenlm_spark.oracle import arpa_ngram_rows
 
-    model_rows = [list(arpa_ngram_rows(p)) for p in args.model]
+    def load_rows(path):
+        # ModelBuffer base (lmplz --intermediate output) or ARPA file —
+        # the reference's interpolate takes the former; we take both
+        if os.path.exists(f"{path}.kenlm_intermediate"):
+            from kenlm_spark.ngram.model_buffer import read_model_buffer
+
+            _, rows = read_model_buffer(path)
+            return [
+                (r["order"], " ".join(r["words"]), r["log10_prob"],
+                 r["log10_backoff"])
+                for r in rows
+            ]
+        return list(arpa_ngram_rows(path))
+
+    model_rows = [load_rows(p) for p in args.model]
     order = max(n for rows in model_rows for n, _, _, _ in rows)
 
     if args.tuning:

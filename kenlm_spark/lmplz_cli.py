@@ -40,6 +40,12 @@ def main(argv=None) -> int:
                     help="text column when --text is parquet")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
+        "--intermediate",
+        help="also write the KenLM intermediate (ModelBuffer) file set "
+        "at this base path (lmplz --intermediate twin; interpolate "
+        "input)",
+    )
+    ap.add_argument(
         "--collect_threshold", type=int, default=2_000_000,
         help="models larger than this many n-grams stream out via the "
         "distributed per-order-sorted writer instead of a driver collect "
@@ -94,6 +100,10 @@ def main(argv=None) -> int:
         docs, "text", order=args.order,
         fallback_discount=fallback, prune_thresholds=prune,
     )
+    if args.intermediate:
+        from kenlm_spark.ngram.model_buffer import write_model_buffer
+
+        write_model_buffer(model_df.collect(), args.order, args.intermediate)
     # large models stream out distributed (per-order sorted part files +
     # byte merge, no driver materialization); small ones take the collect
     # fast path — byte-identical outputs (tests/test_estimator.py)
