@@ -131,8 +131,16 @@ generation linear):
 **Dedup scaling efficiency (throughput ratio / 4): {eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 """
-    with open("BENCH/BASELINE.md", "a") as fh:
-        fh.write(section)
+    # replace any previous auto-appended section of this exact title
+    # instead of accumulating duplicates
+    marker = "\n\n## Second workload: shuffle-heavy dedup scaling (MinHash+LSH)\n"
+    text = open("BENCH/BASELINE.md").read()
+    while marker in text:
+        start = text.index(marker)
+        nxt = text.find("\n## ", start + len(marker))
+        text = text[:start] + (text[nxt:] if nxt != -1 else "")
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(text + section)
 
 
 if __name__ == "__main__":
