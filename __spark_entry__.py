@@ -162,6 +162,36 @@ def q_score_captions_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_captions_trie_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 write side (r4): score from a trie binary WRITTEN BY OUR OWN
+    trie writer (quantized + Bhiksha, the most compressed layout) — the
+    full write→read round trip inside the query surface. The writer is
+    byte-identical to build_binary (tests/test_trie_writer.py), so this
+    must hash-match q_score_captions' oracle exactly like
+    q_score_captions_trie does."""
+    import tempfile
+
+    from kenlm_spark.ngram.binary import load_binary
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+    from kenlm_spark.ngram.trie_writer import write_trie
+
+    out = os.path.join(tempfile.gettempdir(), "q_trie_rt.klm")
+    if not os.path.exists(out):
+        write_trie(ARPA_PATH, out, quant_bits=8, backoff_bits=8,
+                   array_bits=22)
+    scorer = SparkNGramScorer(spark, load_binary(out))
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.select(
+        "doc_id",
+        F.round(F.col("log10_prob"), 3).alias("log10_prob"),
+        F.round(
+            -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)), 4
+        ).alias("log10_ppl"),
+        F.col("oov_count"),
+        F.col("n_tokens"),
+    )
+
+
 def q_score_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11.6: stupid-backoff fallback scorer (fixed log10(0.4) penalty
     per skipped context order instead of learned backoffs)."""
@@ -1042,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_captions": q_score_captions,
         "q_score_captions_binary": q_score_captions_binary,
         "q_score_captions_trie": q_score_captions_trie,
+        "q_score_captions_trie_rt": q_score_captions_trie_rt,
         "q_score_captions_join": q_score_captions_join,
         "q_score_fragments": q_score_fragments,
         "q_score_stupid_backoff": q_score_stupid_backoff,
@@ -1218,6 +1249,7 @@ FROM s
         "q_score_captions": score,
         "q_score_captions_binary": score,
         "q_score_captions_trie": score,
+        "q_score_captions_trie_rt": score,
         "q_score_captions_join": score,
         "q_score_fragments": (
             "SELECT doc_id, log10_prob FROM (" + score + ")"

@@ -261,6 +261,25 @@ def ensure_build_binary() -> str:
     return exe
 
 
+def ensure_fragment() -> str:
+    """Compile the reference's `fragment` binary (boost-free) for the
+    RuleScore/ChartState fragment-scoring differential."""
+    exe = os.path.join(BUILD_DIR, "fragment")
+    if not os.path.exists(exe):
+        srcs = []
+        for sub in ("util", "util/double-conversion", "lm"):
+            for f in sorted(os.listdir(os.path.join(BUILD_DIR, sub))):
+                if f.endswith(".cc") and "main" not in f and "test" not in f:
+                    srcs.append(os.path.join(sub, f))
+        cmd = [
+            "g++", "-O2", "-std=c++14", "-DKENLM_MAX_ORDER=6", "-DHAVE_ZLIB",
+            "-I.", "lm/fragment_main.cc", *srcs, "-o", "fragment",
+            "-lz", "-w",
+        ]
+        subprocess.run(cmd, cwd=BUILD_DIR, check=True)
+    return exe
+
+
 def fuzz_binary_loader(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
     """Random ARPA models → the reference's own build_binary (probing AND
     every trie variant) → OUR binary reader, scored against the compiled

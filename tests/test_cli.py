@@ -317,3 +317,29 @@ def test_interpolate_cli_just_tune(tmp_path):
     finally:
         sys.stdout = old
     assert len(weights) == 2 and all(abs(w) < 10 for w in weights)
+
+
+def test_fragment_cli_matches_reference_binary(tmp_path):
+    """fragment twin: RuleScore/ChartState fragment scores (no <s>/</s>)
+    printed per line, differential vs the compiled reference's own
+    `fragment` binary on probing AND rest-probing models."""
+    if not os.path.isdir("/tmp/refbuild"):
+        pytest.skip("compiled reference tree not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from diff_reference import ensure_fragment
+
+    frag = ensure_fragment()
+    text = "on a little more loin\nlooking on\nfoo bar zzz\nscreening\n"
+    for model in ("test_probing.klm", "test_rest_probing.klm"):
+        path = os.path.join(FIX, model)
+        theirs = subprocess.run(
+            [frag, path], input=text, capture_output=True, text=True,
+        ).stdout.split()
+        ours_p = subprocess.run(
+            [sys.executable, "-m", "kenlm_spark.fragment_cli", path],
+            input=text, capture_output=True, text=True,
+        )
+        ours = ours_p.stdout.split()
+        assert len(ours) == len(theirs) == 4, ours_p.stderr
+        for a, b in zip(ours, theirs):
+            assert float(a) == pytest.approx(float(b), abs=2e-4), model
