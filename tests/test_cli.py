@@ -343,3 +343,34 @@ def test_fragment_cli_matches_reference_binary(tmp_path):
         assert len(ours) == len(theirs) == 4, ours_p.stderr
         for a, b in zip(ours, theirs):
             assert float(a) == pytest.approx(float(b), abs=2e-4), model
+
+
+def test_phrase_table_vocab_cli(tmp_path):
+    """phrase_table_vocab twin: per-sentence target vocab from a phrase
+    table (source ||| target), sentences seeded with their own words,
+    sub-phrase matching capped at 7 words."""
+    src = tmp_path / "src.txt"
+    src.write_text("the quick brown fox\nanother sentence here\n")
+    table = (
+        "quick brown ||| schnell braun ||| 0.5\n"
+        "sentence here ||| satz hier\n"
+        "missing phrase ||| nope\n"
+        "the quick brown fox ||| full match\n"
+    )
+    from kenlm_spark.phrase_table_vocab_cli import main as pv_main
+
+    old_in, old_out = sys.stdin, sys.stdout
+    sys.stdin, sys.stdout = io.StringIO(table), io.StringIO()
+    try:
+        assert pv_main([str(src)]) == 0
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdin, sys.stdout = old_in, old_out
+    lines = out.splitlines()
+    assert len(lines) == 2
+    assert set(lines[0].split()) == {
+        "the", "quick", "brown", "fox", "schnell", "braun", "full", "match",
+    }
+    assert set(lines[1].split()) == {
+        "another", "sentence", "here", "satz", "hier",
+    }
