@@ -600,6 +600,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup transitive closure (r4): connected components over the
+    MinHash near-dup pair graph — (id, comp) with comp = min reachable
+    doc id. Pairs alone don't dedup a corpus (near-dup isn't
+    transitive); this is the canonical-survivor step every training-data
+    pipeline needs. Iterative hash-min label propagation, checkpointed
+    per round; oracle = DuckDB recursive CTE closure."""
+    from kenlm_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    return dedup_components(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (near, SimHash): bit-majority fingerprint per document."""
     from kenlm_spark.operators.dedup import simhash
@@ -1097,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact_stream": q_dedup_exact_stream,
         "q_events_user_stats_stream": q_events_user_stats_stream,
         "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_components": q_dedup_components,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1330,6 +1344,9 @@ FROM (
             "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id"
         ),
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
+        "q_dedup_components": dedup.dedup_components_sql(
+            dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5)
+        ),
         "q_dedup_jaccard": dedup.jaccard_pairs_sql(
             table="(SELECT * FROM documents ORDER BY doc_id LIMIT 1000)",
             jaccard_threshold=0.5,

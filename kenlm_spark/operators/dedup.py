@@ -524,3 +524,107 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ------------------------------------------------- components / canonical
+
+
+def dedup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, comp): connected components of the duplicate-pair graph —
+    comp = the MINIMUM doc id reachable from ``id``. Pairs alone don't
+    dedup a corpus; transitive closure does (a~b, b~c ⇒ keep one of
+    {a,b,c}), and near-dup relations are not transitive, so this is a
+    real operator, not a groupBy.
+
+    Iterative hash-min label propagation: each round every vertex takes
+    min(own label, neighbors' labels), checkpointed per round so the
+    lineage stays flat; terminates when a round changes nothing.
+    Rounds needed = graph diameter — tiny for dup clusters (replica
+    groups are near-cliques through their shared buckets, diameter 1-3),
+    so at 100 TB this is a handful of self-joins on the (small) pair
+    set, never touching the corpus. For adversarial long-chain graphs
+    the large-star/small-star variant halves diameter per round; not
+    needed for dedup workloads.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nmin", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.select("id", F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_canonical_drop(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, keep): the end-to-end dedup decision — every document
+    keeps True except non-canonical duplicate-cluster members (cluster
+    canonical = minimum doc id, the usual deterministic tie-break)."""
+    comp = dedup_components(pairs)
+    drop = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.select(id_col).join(
+        drop.withColumn("_drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+    )
+
+
+def dedup_components_sql(
+    pairs_sql: str, jaccard_threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of dedup_components over a pair-producing query:
+    recursive transitive closure, then comp = min reachable id."""
+    return f"""
+WITH RECURSIVE base AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM base
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM base
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+"""

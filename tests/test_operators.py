@@ -495,3 +495,46 @@ def test_ivf_deterministic(spark, emb):
     c1 = train_centroids(emb, k=4, iters=3)
     c2 = train_centroids(emb, k=4, iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_dedup_components_and_canonical(spark):
+    """Transitive closure over near-dup pairs: chains collapse to one
+    component labeled by the min id; canonical-drop keeps exactly one
+    doc per cluster plus all unpaired docs."""
+    from kenlm_spark.operators.dedup import (
+        dedup_canonical_drop,
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long"
+    )
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_canonical_drop(docs, pairs).collect()
+    }
+    assert keep == {
+        1: True, 2: False, 3: False, 4: False,
+        10: True, 11: False, 20: True, 21: False, 99: True,
+    }
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """A 40-node path graph (diameter 39) still converges: hash-min
+    propagates the minimum one hop per round, and the operator iterates
+    to quiescence within max_iter."""
+    from kenlm_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in dedup_components(pairs, max_iter=60).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 41
