@@ -360,13 +360,19 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North rule end-to-end: langid + perplexity + heuristics + scrub →
     keep/drop + drop_reason + scrubbed text, per document."""
+    return _keep_drop_frame(spark, _docs(spark, sf_dir))
+
+
+def _keep_drop_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The north-rule decision columns over any (doc_id, text) frame —
+    batch or streaming (every stage is map-only)."""
     from kenlm_spark.filtering.langid import lang_expr
     from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
     from kenlm_spark.filtering.scrub import scrub_expr
     from kenlm_spark.ngram.scorer import SparkNGramScorer
 
     scorer = SparkNGramScorer(spark, _model())
-    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="lm_")
+    df = scorer.with_scores(docs, "text", prefix="lm_")
     m = quality_metric_exprs("text")
     df = (
         df.withColumn("lang_pred", lang_expr("text"))
@@ -392,6 +398,29 @@ def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.isNull().alias("keep"),
         F.col("scrubbed"),
     )
+
+
+def q_keep_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule as a Structured Streaming job: the identical map-only
+    decision pipeline (langid + perplexity scorer + heuristics + scrub)
+    over a streaming file source, drained with availableNow into a
+    memory sink — must hash-match q_keep_drop's oracle. This is the
+    shape a continuously-ingesting image+caption pipeline runs in
+    production (readStream from the table, same plan, checkpointed
+    sink)."""
+    import uuid
+
+    from kenlm_spark.streaming.jobs import run_available_now
+
+    src = _stream_src(sf_dir, "documents")
+    schema = spark.read.parquet(src).schema
+    docs = spark.readStream.schema(schema).parquet(src).select(
+        "doc_id", "text"
+    )
+    out = _keep_drop_frame(spark, docs)
+    name = f"keep_drop_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(out, name)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def q_keep_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
         "q_keep_drop": q_keep_drop,
+        "q_keep_drop_stream": q_keep_drop_stream,
         "q_keep_drop_join": q_keep_drop_join,
         "q_ngram_count_2": q_ngram_count_2,
         "q_ngram_count_3": q_ngram_count_3,
@@ -1319,6 +1349,7 @@ FROM (
             "FROM documents"
         ),
         "q_keep_drop": keep_drop,
+        "q_keep_drop_stream": keep_drop,
         "q_keep_drop_join": keep_drop,
         "q_ngram_count_2": ngram_counts_sql("text", "documents", n=2, pad=True),
         "q_ngram_count_3": ngram_counts_sql("text", "documents", n=3, pad=True),
