@@ -1014,6 +1014,19 @@ def q_parts_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier 3 (r4): IVF-PQ — coarse cells + product-quantization
+    codes (m=8 subspaces x 16 sampled codewords), candidates scored on
+    codeword RECONSTRUCTIONS (= the classic ADC lookup sum). The
+    memory tier for 1e12-vector corpora; brute-force and IVF-flat stay
+    above it as re-rank/ground-truth. Full DuckDB oracle (coarse
+    k-means CTE chain + encoding + reconstruction)."""
+    from kenlm_spark.operators.ivf import ivf_pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, query_ids=list(range(8)), k=10)
+
+
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: IVF coarse-quantizer probing (deterministic
     Lloyd k-means, n_probe cells, exact re-rank). Training is
@@ -1148,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_lsh": q_similarity_lsh,
         "q_similarity_ivf": q_similarity_ivf,
+        "q_similarity_ivf_pq": q_similarity_ivf_pq,
         "q_dedup_embedding": q_dedup_embedding,
         "q_lang_agreement": q_lang_agreement,
         "q_langid_nb": q_langid_nb,
@@ -1230,6 +1244,12 @@ def _ivf_sql() -> str:
     from kenlm_spark.operators.ivf import ivf_topk_sql
 
     return ivf_topk_sql(list(range(8)), k=10, n_cells=8, n_probe=3)
+
+
+def _ivf_pq_sql() -> str:
+    from kenlm_spark.operators.ivf import ivf_pq_topk_sql
+
+    return ivf_pq_topk_sql(list(range(8)), k=10)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1468,6 +1488,7 @@ UNION ALL SELECT ord, gram, sent_id FROM tagonly
         ),
         "q_similarity_lsh": sim.lsh_bucket_topk_sql(list(range(8)), k=10),
         "q_similarity_ivf": _ivf_sql(),
+        "q_similarity_ivf_pq": _ivf_pq_sql(),
         "q_lang_agreement": (
             f"SELECT lang, {lang_sql('text')} AS lang_pred, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"

@@ -241,3 +241,241 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("long"))
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+
+def _pq_codebooks(
+    emb: DataFrame, m: int, n_codes: int, id_col: str, vec_col: str,
+) -> np.ndarray:
+    """(m, n_codes, sub) sampled codebooks: subvectors of the first
+    ``n_codes`` vectors by id. A deterministic "sampled codebook" PQ
+    variant (vs k-means-trained centers): same storage and query
+    structure, slightly lower recall, and — the point here — an exactly
+    reproducible DuckDB twin. Swapping in Lloyd-trained codebooks is the
+    `train_centroids` pattern per subspace."""
+    rows = (
+        emb.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    )
+    X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    sub = dim // m
+    return X[:, : m * sub].reshape(len(X), m, sub).transpose(1, 0, 2).copy()
+
+
+def _seq_d2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 over the LAST axis with dim-sequential accumulation —
+    the same left-fold DuckDB's list_sum performs, so argmin ties and
+    near-ties resolve identically on both engines."""
+    acc = np.zeros(np.broadcast(a[..., 0], b[..., 0]).shape)
+    for i in range(a.shape[-1]):
+        d = a[..., i] - b[..., i]
+        acc = acc + d * d
+    return acc
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k — the memory-tier below IVF-flat:
+    each vector is stored as a coarse cell + ``m`` one-byte-ish codes
+    (here ``n_codes`` codewords/subspace), ~``m`` bytes instead of
+    ``4*dim``. Scoring reconstructs candidates from their codewords
+    (mathematically identical to the classic ADC lookup-table sum,
+    since dot(q, recon) = Σ_j dot(q_j, codeword_j)) and probes only
+    ``n_probe`` cells. At 1e12 vectors this is the tier that fits an
+    executor's memory where raw embeddings don't; the exact
+    `brute_force_topk` and IVF-flat `ivf_topk` stay as the re-rank /
+    ground-truth tiers above it.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cent = train_centroids(emb, k=n_cells, id_col=id_col, vec_col=vec_col)
+    books = _pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    sub = books.shape[2]
+    bc_cent = spark.sparkContext.broadcast(cent)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        cents, bks = bc_cent.value, bc_books.value
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if not len(X):
+                continue
+            cell = _seq_d2(X[:, None, :], cents[None, :, :]).argmin(axis=1)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                codes[:, j] = _seq_d2(
+                    Xj[:, None, :], bks[j][None, :, :]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = emb.select(id_col, vec_col).mapInPandas(
+        encode, "nid long, cell int, codes array<int>"
+    )
+
+    # probes: driver-side per query (queries are few by contract)
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        d2 = _seq_d2(qv[None, :], cent)
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            probe_rows.append(
+                (int(r[id_col]), list(map(float, qv)), int(cell))
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
+    )
+
+    cand = encoded.join(F.broadcast(probes), "cell").filter(
+        F.col("nid") != F.col("query_id")
+    )
+
+    def score(batches):
+        bks = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            recon = np.concatenate(
+                [bks[j][codes[:, j]] for j in range(m)], axis=1
+            )
+            Q = np.asarray([np.asarray(q) for q in pdf["qv"]])[:, : m * sub]
+            dot = np.zeros(len(pdf))
+            qn = np.zeros(len(pdf))
+            rn = np.zeros(len(pdf))
+            for i in range(m * sub):
+                dot = dot + Q[:, i] * recon[:, i]
+                qn = qn + Q[:, i] * Q[:, i]
+                rn = rn + recon[:, i] * recon[:, i]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["nid"].to_numpy(),
+                    "score": np.round(dot / (np.sqrt(qn) * np.sqrt(rn)), 6),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long"))
+    )
+
+
+def ivf_pq_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivf_pq_topk``: the coarse k-means CTE chain of
+    ``ivf_topk_sql``, plus sampled codebooks, per-subspace argmin
+    encoding, codeword reconstruction, and the same cosine re-rank over
+    reconstructions (left-fold sums match the Spark side's sequential
+    accumulation bitwise)."""
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    base_sql = ivf_topk_sql(
+        query_ids, k=k, n_cells=n_cells, n_probe=n_probe, iters=iters,
+        sample=sample, table=table, id_col=id_col, vec_col=vec_col,
+    )
+    # reuse everything up to (and including) the probes CTE
+    head = base_sql[: base_sql.index("cand AS (")].rstrip().rstrip(",")
+    sub = dim // m
+    sub_d2 = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (e.v[(cb.j-1)*{sub}+i] - cb.c[(cb.j-1)*{sub}+i]) * "
+        f"(e.v[(cb.j-1)*{sub}+i] - cb.c[(cb.j-1)*{sub}+i])))"
+    )
+    tail = f""",
+cb AS (
+  SELECT j.j, row_number() OVER (PARTITION BY j.j ORDER BY b.nid) - 1 AS code,
+         b.v AS c
+  FROM (SELECT nid, v FROM base ORDER BY nid LIMIT {n_codes}) b
+  CROSS JOIN (SELECT unnest(generate_series(1, {m})) AS j) j
+),
+codes AS (
+  SELECT nid, j, code FROM (
+    SELECT e.nid, cb.j, cb.code,
+           row_number() OVER (PARTITION BY e.nid, cb.j
+                              ORDER BY {sub_d2}, cb.code) AS rn
+    FROM base e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT c.nid, flatten(list(
+    list_slice(cb.c, (c.j-1)*{sub}+1, c.j*{sub}) ORDER BY c.j)) AS r
+  FROM codes c JOIN cb ON cb.j = c.j AND cb.code = c.code
+  GROUP BY c.nid
+),
+cand AS (
+  SELECT p.query_id, a.nid AS neighbor_id, r.r
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN recon r ON r.nid = a.nid
+  WHERE a.nid <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(c.r)),
+                                   i -> q.qv[i] * c.r[i]))
+           / (sqrt(list_sum(list_transform(
+                  generate_series(1, len(c.r)), i -> q.qv[i] * q.qv[i])))
+              * sqrt(list_sum(list_transform(c.r, x -> x * x)))),
+           6) AS score
+  FROM cand c JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    return head + tail

@@ -538,3 +538,28 @@ def test_dedup_components_long_chain_converges(spark):
     comp = {r["id"]: r["comp"] for r in dedup_components(pairs, max_iter=60).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 41
+
+
+def test_ivf_pq_recall_vs_exact(spark, emb):
+    """IVF-PQ (coarse cells + sampled-codebook product quantization) is
+    the lossiest ANN tier; its top-10 must still overlap the exact
+    brute-force top-10 substantially, and returned ranks must be dense
+    per query."""
+    from kenlm_spark.operators.ivf import ivf_pq_topk
+    from kenlm_spark.operators.similarity import brute_force_topk
+
+    qids = list(range(8))
+    exact = {}
+    for r in brute_force_topk(emb, qids, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    ranks = {}
+    for r in ivf_pq_topk(emb, qids, k=10).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # PQ tier: coarse but sane
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
