@@ -357,6 +357,21 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (r4): duplicate-line ratio, top
+    word / top bigram frequency fractions — the repetition-removal
+    family of quality filtering, per document, all-Catalyst."""
+    from kenlm_spark.filtering.quality import repetition_metric_exprs
+
+    m = repetition_metric_exprs("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(m["dup_line_ratio"], 6).alias("dup_line_ratio"),
+        F.round(m["top_word_ratio"], 6).alias("top_word_ratio"),
+        F.round(m["top_bigram_ratio"], 6).alias("top_bigram_ratio"),
+    )
+
+
 def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North rule end-to-end: langid + perplexity + heuristics + scrub →
     keep/drop + drop_reason + scrubbed text, per document."""
@@ -1138,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
+        "q_repetition_metrics": q_repetition_metrics,
         "q_keep_drop": q_keep_drop,
         "q_keep_drop_stream": q_keep_drop_stream,
         "q_keep_drop_join": q_keep_drop_join,
@@ -1364,6 +1380,18 @@ FROM (
             f"{qm['distinct_ratio']} AS distinct_ratio "
             "FROM documents"
         ),
+        "q_repetition_metrics": (
+            lambda: (
+                "SELECT doc_id, "
+                + ", ".join(
+                    f"round({e}, 6) AS {name}"
+                    for name, e in __import__(
+                        "kenlm_spark.filtering.quality", fromlist=["x"]
+                    ).repetition_sql_exprs("text").items()
+                )
+                + " FROM documents"
+            )
+        )(),
         "q_quality_filter": (
             f"SELECT doc_id, {quality_pass_sql('text')} AS quality_pass "
             "FROM documents"

@@ -139,3 +139,106 @@ def quality_pass_sql(text_expr: str, cfg: dict | None = None) -> str:
         f" AND NOT ({m['has_long_token']})"
         f" AND ({m['distinct_ratio']}) >= {t['min_distinct_ratio']})"
     )
+
+
+# -------------------------------------------------- repetition (Gopher-style)
+
+
+def repetition_metric_exprs(text_col: Column | str) -> dict[str, Column]:
+    """Gopher-rule repetition signals (Rae et al. 2021 §A1.1 "repetition
+    removal"), per document, as pure Catalyst expressions:
+
+    * ``dup_line_ratio`` — 1 − distinct/total over newline-split lines
+      (0 for single-line docs);
+    * ``top_word_ratio`` — occurrences of the most frequent (lowercased)
+      token / n_tokens;
+    * ``top_bigram_ratio`` — occurrences of the most frequent word
+      bigram / bigram count.
+
+    The mode-frequency expressions are O(distinct × n) lambda HOFs —
+    fine for caption/paragraph-length rows; for book-length documents
+    compute the same numbers with posexplode + groupBy (two exchanges)
+    instead of per-row lambdas (the allocation-bound-HOF caveat in the
+    module docstring)."""
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    lines = F.array_remove(
+        F.transform(F.split(c, "\n"), lambda s: F.trim(s)), ""
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    toks = F.array_remove(F.split(F.lower(c), _DELIM + "+"), "")
+    n_toks = F.size(toks)
+    safe_toks = F.greatest(n_toks, F.lit(1))
+
+    def mode_count(arr: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda t: F.size(F.filter(arr, lambda x: x == t)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    safe_bi = F.greatest(n_bi, F.lit(1))
+    return {
+        "dup_line_ratio": (
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / safe_lines
+        ),
+        "top_word_ratio": mode_count(toks).cast("double") / safe_toks,
+        "top_bigram_ratio": mode_count(bigrams).cast("double") / safe_bi,
+    }
+
+
+def repetition_sql_exprs(text_expr: str) -> dict[str, str]:
+    """DuckDB twins of :func:`repetition_metric_exprs` — integer counts
+    and single divisions, so values match bitwise."""
+    c = f"coalesce({text_expr}, '')"
+    lines = (
+        f"list_filter(list_transform(regexp_split_to_array({c}, '\\n'), "
+        f"s -> trim(s)), s -> s <> '')"
+    )
+    toks = (
+        f"list_filter(regexp_split_to_array(lower({c}), '{_DELIM}+'), "
+        f"t -> t <> '')"
+    )
+
+    def mode_count(arr: str) -> str:
+        return (
+            f"coalesce(list_max(list_transform(list_distinct({arr}), "
+            f"t -> len(list_filter({arr}, x -> x = t)))), 0)"
+        )
+
+    bigrams = (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1]) "
+        f"ELSE [] END"
+    )
+    return {
+        "dup_line_ratio": (
+            f"CAST(len({lines}) - len(list_distinct({lines})) AS DOUBLE)"
+            f" / greatest(len({lines}), 1)"
+        ),
+        "top_word_ratio": (
+            f"CAST({mode_count(toks)} AS DOUBLE) / greatest(len({toks}), 1)"
+        ),
+        "top_bigram_ratio": (
+            f"CAST({mode_count(bigrams)} AS DOUBLE)"
+            f" / greatest(len({bigrams}), 1)"
+        ),
+    }

@@ -563,3 +563,31 @@ def test_ivf_pq_recall_vs_exact(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.3  # PQ tier: coarse but sane
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_repetition_metrics_planted(spark):
+    """Gopher repetition signals on planted inputs: duplicated lines,
+    a dominant repeated word, and a repeated bigram."""
+    from kenlm_spark.filtering.quality import repetition_metric_exprs
+
+    rows = [
+        (1, "same line\nsame line\nother line"),
+        (2, "spam spam spam spam unique"),
+        (3, "the cat the cat the cat sat"),
+        (4, "all distinct words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = repetition_metric_exprs("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            m["dup_line_ratio"].alias("dl"),
+            m["top_word_ratio"].alias("tw"),
+            m["top_bigram_ratio"].alias("tb"),
+        ).collect()
+    }
+    assert got[1]["dl"] == pytest.approx(1 / 3)
+    assert got[2]["tw"] == pytest.approx(4 / 5)
+    assert got[3]["tb"] == pytest.approx(3 / 6)  # "the cat" 3x of 6 bigrams
+    assert got[4]["dl"] == 0.0 and got[4]["tw"] == pytest.approx(1 / 5)
