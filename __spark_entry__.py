@@ -1380,18 +1380,9 @@ FROM (
             f"{qm['distinct_ratio']} AS distinct_ratio "
             "FROM documents"
         ),
-        "q_repetition_metrics": (
-            lambda: (
-                "SELECT doc_id, "
-                + ", ".join(
-                    f"round({e}, 6) AS {name}"
-                    for name, e in __import__(
-                        "kenlm_spark.filtering.quality", fromlist=["x"]
-                    ).repetition_sql_exprs("text").items()
-                )
-                + " FROM documents"
-            )
-        )(),
+        "q_repetition_metrics": __import__(
+            "kenlm_spark.filtering.quality", fromlist=["x"]
+        ).repetition_sql_query(),
         "q_quality_filter": (
             f"SELECT doc_id, {quality_pass_sql('text')} AS quality_pass "
             "FROM documents"
