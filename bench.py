@@ -22,6 +22,16 @@ def _time(df) -> float:
     return time.perf_counter() - t0
 
 
+def _time_query(fn) -> float:
+    """Time construction AND execution: queries with eager work inside
+    the builder (streaming drains, iterative checkpoints, driver-side
+    index training) are otherwise under-reported."""
+    t0 = time.perf_counter()
+    df = fn()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -72,10 +82,23 @@ def main() -> None:
     # queries/sec likewise excludes one-time load effects).
     timings: dict[str, float] = {}
     for name in headline:
-        _time(qs[name](spark, sf_dir))
-        timings[name] = round(_time(qs[name](spark, sf_dir)), 4)
+        _time_query(lambda: qs[name](spark, sf_dir))
+        timings[name] = round(
+            _time_query(lambda: qs[name](spark, sf_dir)), 4
+        )
 
-    pipeline_sec = timings.get("q_keep_drop", timings.get("q_score_captions", 1.0))
+    # throughput metrics keep the r1-r3 definition — steady-state ACTION
+    # wall with construction (broadcast ship) excluded, the analogue of
+    # the reference's queries/sec-excluding-load — while the per-query
+    # table above includes construction (r4 change: eager-builder
+    # queries like streams and iterative components were under-reported
+    # as ~0s before)
+    kd = qs.get("q_keep_drop", qs.get("q_score_captions"))(spark, sf_dir)
+    _time(kd)
+    pipeline_sec = _time(kd)
+    sc = qs["q_score_captions"](spark, sf_dir)
+    _time(sc)
+    scorer_sec = _time(sc)
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total_wall",
@@ -88,9 +111,7 @@ def main() -> None:
         "n_captions": n_docs,
         # reference metric twin (kenlm_benchmark reports queries/sec
         # excluding load): scorer-only token throughput
-        "scorer_tokens_per_sec": round(
-            n_tokens / max(timings.get("q_score_captions", 1e9), 1e-9), 1
-        ),
+        "scorer_tokens_per_sec": round(n_tokens / max(scorer_sec, 1e-9), 1),
         "n_tokens": int(n_tokens),
     }
     spark.stop()
