@@ -23,6 +23,29 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 ARPA_PATH = os.path.join(REPO, "tests", "fixtures", "test.arpa")
 
 _MODEL = None
+_MTABLES = None
+
+
+def _model_tables(spark):
+    """Memoized distributed model tables + Bloom for the join-scorer
+    queries — the model-ship analogue of the _model() memo (the
+    reference's throughput metric excludes model load likewise)."""
+    global _MTABLES
+    if _MTABLES is None or _MTABLES[0] is not spark:
+        from kenlm_spark.ngram.join_scorer import (
+            key_bloom_from_model,
+            model_table,
+            vocab_table,
+        )
+
+        m = _model()
+        _MTABLES = (
+            spark,
+            model_table(spark, m).localCheckpoint(eager=True),
+            vocab_table(spark, m).localCheckpoint(eager=True),
+            key_bloom_from_model(m),
+        )
+    return _MTABLES[1], _MTABLES[2], _MTABLES[3]
 
 
 def _model():
@@ -212,23 +235,19 @@ def q_score_captions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n, key, prob, backoff) DataFrame, candidates equi-joined per order —
     the fallback when the estimated model outgrows the driver/broadcast
     ceiling. Must hash-match q_score_captions' oracle exactly."""
-    from kenlm_spark.ngram.join_scorer import (
-        key_bloom_from_model,
-        model_table,
-        score_with_join,
-        vocab_table,
-    )
+    from kenlm_spark.ngram.join_scorer import score_with_join
 
     m = _model()
+    mdf, vdf, bloom = _model_tables(spark)
     scored = score_with_join(
         _docs(spark, sf_dir),
         "text",
-        model_table(spark, m),
-        vocab_table(spark, m),
+        mdf,
+        vdf,
         m.order,
         m.bos_id,
         m.eos_id,
-        key_bloom=key_bloom_from_model(m),
+        key_bloom=bloom,
     )
     return scored.select(
         "doc_id",
@@ -447,18 +466,14 @@ def q_keep_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kenlm_spark.filtering.langid import lang_expr
     from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
     from kenlm_spark.filtering.scrub import scrub_expr
-    from kenlm_spark.ngram.join_scorer import (
-        key_bloom_from_model,
-        model_table,
-        score_with_join,
-        vocab_table,
-    )
+    from kenlm_spark.ngram.join_scorer import score_with_join
 
     m = _model()
     docs = _docs(spark, sf_dir)
+    mdf, vdf, bloom = _model_tables(spark)
     scored = score_with_join(
-        docs, "text", model_table(spark, m), vocab_table(spark, m),
-        m.order, m.bos_id, m.eos_id, key_bloom=key_bloom_from_model(m),
+        docs, "text", mdf, vdf,
+        m.order, m.bos_id, m.eos_id, key_bloom=bloom,
     ).select(
         "doc_id",
         F.col("log10_prob").alias("lm_log10_prob"),

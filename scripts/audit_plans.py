@@ -128,6 +128,15 @@ def main() -> None:
         "  parquet scan + the ensure_min_partitions round-robin. The bench",
         "  runs 53 queries in one shared JVM; sub-second entries absorb GC",
         "  from heavier neighbors (q_langid_nb runs nearby since r2).",
+        "- **bench timing definition (r4):** per-query numbers now include",
+        "  query CONSTRUCTION, so eager builders surface their true cost:",
+        "  q_interpolate_models ~13s is its ~2×order eager localCheckpoint",
+        "  barriers + multi-join planning on a 105-row model — fixed stage",
+        "  overhead (the checkpoint-per-iteration trade the module",
+        "  docstring documents: 12.5s of Catalyst re-planning without it),",
+        "  not data cost; it amortizes at real model sizes. Streaming",
+        "  drains and iterative components were 0.02-0.03s under the old",
+        "  action-only timing.",
         "- **q_quality_filter r2→r3 'regression' root-caused (r4):**",
         "  0.099s→0.46s in bench context with quality.py and the query",
         "  untouched. Isolated protocol (same as the q_quality_metrics",
