@@ -60,14 +60,45 @@ class State:
     def _key(self):
         return tuple(self._core.words)
 
+    def _cmp(self, other) -> int:
+        """lm/state.hh State::Compare: length first, then memcmp over the
+        little-endian uint32 word array."""
+        a, b = self._core.words, other._core.words
+        if len(a) != len(b):
+            return -1 if len(a) < len(b) else 1
+        import numpy as np
+
+        ab = np.asarray(a, dtype="<u4").tobytes()
+        bb = np.asarray(b, dtype="<u4").tobytes()
+        return (ab > bb) - (ab < bb)
+
     def __eq__(self, other):
-        return isinstance(other, State) and self._key() == other._key()
+        return isinstance(other, State) and self._cmp(other) == 0
 
     def __lt__(self, other):
-        return self._key() < other._key()
+        return self._cmp(other) < 0
+
+    def __le__(self, other):
+        return self._cmp(other) <= 0
+
+    def __gt__(self, other):
+        return self._cmp(other) > 0
+
+    def __ge__(self, other):
+        return self._cmp(other) >= 0
 
     def __hash__(self):
-        return hash(self._key())
+        # python/kenlm.pyx:70-71 -> lm/state.hh hash_value:
+        # MurmurHash64A over the uint32 word array, seed 0, viewed as a
+        # signed 64-bit Py_hash_t (F8 — bit-parity with the binding)
+        import numpy as np
+
+        from kenlm_spark.ngram.hashing import murmur_hash64a
+
+        h = murmur_hash64a(
+            np.asarray(self._core.words, dtype="<u4").tobytes()
+        )
+        return int(np.uint64(h).astype(np.int64))
 
     def __copy__(self):
         ret = State()

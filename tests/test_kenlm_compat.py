@@ -128,3 +128,47 @@ def test_differential_vs_compiled_reference(model):
         assert r1.ngram_length == r2.ngram_length and r1.oov == r2.oov
         s_ours, o_ours = o_ours, s_ours
         s_ref, o_ref = o_ref, s_ref
+
+
+def test_state_hash_and_compare_match_binding():
+    """F8 (lm/state.hh hash_value + State::Compare): State.__hash__ is
+    MurmurHash64A over the uint32 word array viewed as signed int64, and
+    ordering is length-then-memcmp — both bit-identical to the compiled
+    reference binding on the same states."""
+    import os
+    import sys
+
+    import pytest
+
+    import kenlm_spark.kenlm_compat as K
+
+    if not os.path.isdir("/tmp/refbuild"):
+        pytest.skip("compiled reference not present")
+    sys.path.insert(0, "/tmp/refbuild")
+    try:
+        import kenlm as ref
+    except ImportError:
+        pytest.skip("compiled reference binding not present")
+
+    klm = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "test_probing.klm")
+    rm, om = ref.Model(klm), K.Model(klm)
+    words = "looking on a little more loin biarritz unknown".split()
+    rs, os_ = ref.State(), K.State()
+    rm.BeginSentenceWrite(rs)
+    om.BeginSentenceWrite(os_)
+    states = [(ref.State(), K.State())]
+    rm.NullContextWrite(states[0][0])
+    om.NullContextWrite(states[0][1])
+    for w in words:
+        r_out, o_out = ref.State(), K.State()
+        rm.BaseScore(rs, w, r_out)
+        om.BaseScore(os_, w, o_out)
+        states.append((r_out, o_out))
+        rs, os_ = r_out, o_out
+    for r, o in states:
+        assert hash(o) == hash(r)
+    for (r1, o1) in states:
+        for (r2, o2) in states:
+            assert (o1 < o2) == (r1 < r2)
+            assert (o1 == o2) == (r1 == r2)
