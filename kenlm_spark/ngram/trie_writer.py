@@ -266,6 +266,74 @@ def write_trie(arpa_path: str, out_path: str,
             dtype=np.uint64, count=len(glist),
         )
         prob, backoff = _model_lookup(model, n, keys)
+        prob = prob.copy()
+        backoff = backoff.copy()
+        raw_set = {k: set(map(tuple, grams[k])) for k in grams}
+
+        def f32_blank_prob(g: tuple[str, ...]) -> np.float32:
+            """The trie build accumulates a blank's chained prob in
+            FLOAT32 (SRISucks values_ + BackoffMessages::Apply `base +=
+            backoff`), one add per REAL charged context, levels
+            ascending — 1 ulp off the parse's double-accumulated chain.
+            basis = the deepest REAL suffix (BlankManager skips blank
+            levels via kBadProb), charges = the blank's context suffixes
+            of lengths [based_on, L) that exist as real grams."""
+            L = len(g)
+            based_on = 1
+            for b in range(L - 1, 1, -1):
+                if g[L - b:] in raw_set.get(b, ()):
+                    based_on = b
+                    break
+            if based_on == 1:
+                p = np.float32(model.uni_prob[aid[g[-1]]])
+            else:
+                bk = np.uint64(gram_key(g[L - based_on:]))
+                pos = int(np.searchsorted(model.keys[based_on], bk))
+                p = np.float32(model.probs[based_on][pos])
+            ctx = g[:-1]
+            for i in range(based_on, L):
+                ci = ctx[len(ctx) - i:]
+                if i == 1:
+                    bo = np.float32(model.uni_backoff[aid[ci[0]]])
+                elif ci in raw_set.get(i, ()):
+                    ck = np.uint64(gram_key(ci))
+                    pos = int(np.searchsorted(model.keys[i], ck))
+                    bo = np.float32(model.backoffs[i][pos])
+                else:
+                    continue
+                p = np.float32(p + bo)
+            return p
+
+        if n < order:
+            # BLANK backoff ±0.0 follows the trie build's message
+            # machinery, which differs from the probing parse's activate()
+            # in two corners (lm/search_trie.cc:100-133, 207-213):
+            #   (a) GetBlank forces kNoExtensionBackoff for blanks at
+            #       order total_order-1 regardless of messages;
+            #   (b) BackoffMessages::Apply walks the sorted real-gram
+            #       stream and DROPS messages once it is exhausted — a
+            #       blank sorting after the LAST real gram of its order
+            #       never receives its extension mark.
+            # Real grams are unaffected (their contexts are real by the
+            # ARPA context requirement and their flips coincide with the
+            # parse's), so only blank entries are overridden here.
+            real = np.fromiter(
+                (g in raw_set.get(n, ()) for g in glist),
+                dtype=bool, count=len(glist),
+            )
+            blank = ~real
+            neg_zero = np.float32(-0.0)
+            if n == order - 1:
+                backoff[blank] = neg_zero
+            else:
+                real_idx = np.flatnonzero(real)
+                last_real = real_idx[-1] if len(real_idx) else -1
+                dropped = blank & (
+                    np.arange(len(glist)) > last_real
+                )
+                backoff[dropped] = neg_zero
+            for bi in np.flatnonzero(blank):
+                prob[bi] = f32_blank_prob(glist[bi])
         levels.append(
             {
                 "grams": glist,

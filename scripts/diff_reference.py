@@ -189,6 +189,51 @@ def random_arpa(rng: random.Random, path: str) -> None:
         fh.write("\n\\end\\\n")
 
 
+def random_arpa_deep(rng: random.Random, path: str, max_order: int = 5) -> None:
+    """Deeper random ARPA (orders up to ``max_order``): prefix-context
+    closure enforced per the reference's requirement, suffix holes
+    allowed at EVERY level — exercises multi-middle-level trie writing
+    (several bit-packed middles, per-level Bhiksha/quant state), which
+    the order-3 ``random_arpa`` can't reach. Always includes <unk> (the
+    trie writer requires it, like build_binary)."""
+    vocab = [f"w{i}" for i in range(rng.randrange(4, 10))]
+    unis = ["<unk>", "<s>", "</s>"] + vocab
+
+    def p() -> float:
+        return round(-rng.uniform(0.05, 3.5), 4)
+
+    def bo() -> float:
+        return round(rng.choice([0.0, -rng.uniform(0.05, 2.0)]), 4)
+
+    grams = {1: [(w,) for w in unis]}
+    order = rng.randrange(3, max_order + 1)
+    nxt_words = [w for w in unis if w != "<s>"]
+    for n in range(2, order + 1):
+        parents = [g for g in grams[n - 1] if g[-1] != "</s>"]
+        if not parents:
+            order = n - 1
+            break
+        seen = set()
+        for _ in range(rng.randrange(4, 20)):
+            g = rng.choice(parents) + (rng.choice(nxt_words),)
+            seen.add(g)
+        grams[n] = sorted(seen)
+    with open(path, "w") as fh:
+        fh.write("\\data\\\n")
+        for n in range(1, order + 1):
+            fh.write(f"ngram {n}={len(grams[n])}\n")
+        for n in range(1, order + 1):
+            fh.write(f"\n\\{n}-grams:\n")
+            for g in grams[n]:
+                gram = " ".join(g)
+                pr = 0.0 if g == ("<s>",) else p()
+                if n < order:
+                    fh.write(f"{pr}\t{gram}\t{bo()}\n")
+                else:
+                    fh.write(f"{pr}\t{gram}\n")
+        fh.write("\n\\end\\\n")
+
+
 def fuzz_random_models(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
     """Random models x random sentences: our loader+scorer vs the compiled
     reference. Exercises pruned-suffix blanks, missing <unk>, -0.0

@@ -113,3 +113,39 @@ def test_fuzz_byte_identical_vs_compiled_reference(tmp_path):
                 assert a.read() == b.read(), (arpa, fixture)
         done += 1
     assert done >= 20
+
+
+def test_fuzz_deep_orders_byte_identical(tmp_path):
+    """Order-4/5 random ARPAs (MULTIPLE bit-packed middle levels, deeper
+    blank chains, per-level Bhiksha chop and quant tables) serialize to
+    the reference's exact bytes in all four layouts."""
+    bb = "/tmp/refbuild/build_binary"
+    if not os.path.exists(bb):
+        pytest.skip("compiled reference not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from diff_reference import random_arpa_deep
+
+    rng = random.Random(424242)
+    done = 0
+    for t in range(40):
+        arpa = str(tmp_path / f"d{t}.arpa")
+        random_arpa_deep(rng, arpa)
+        with open(arpa) as fh:
+            if fh.read().split("ngram", 1)[1][:40].count("=") < 1:
+                continue
+        for fixture, (kwargs, flags) in VARIANTS.items():
+            ref_out = str(tmp_path / "ref.klm")
+            our_out = str(tmp_path / "our.klm")
+            r = subprocess.run(
+                [bb, *flags, arpa, ref_out], capture_output=True
+            )
+            if r.returncode != 0:
+                break  # reference rejected this model; skip it entirely
+            write_trie(arpa, our_out, **kwargs)
+            with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+                assert a.read() == b.read(), (arpa, fixture)
+        else:
+            done += 1
+        if done >= 15:
+            break
+    assert done >= 10
