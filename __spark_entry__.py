@@ -672,6 +672,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end-to-end decision (r4): every document keeps True except
+    non-canonical members of near-dup clusters (canonical = min doc id
+    via connected components over the MinHash pair graph)."""
+    from kenlm_spark.operators.dedup import (
+        dedup_canonical_drop,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return dedup_canonical_drop(docs, pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (near, SimHash): bit-majority fingerprint per document."""
     from kenlm_spark.operators.dedup import simhash
@@ -1185,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_stats_stream": q_events_user_stats_stream,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_components": q_dedup_components,
+        "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1430,6 +1445,9 @@ FROM (
         ),
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
         "q_dedup_components": dedup.dedup_components_sql(
+            dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5)
+        ),
+        "q_dedup_canonical": dedup.dedup_canonical_sql(
             dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5)
         ),
         "q_dedup_jaccard": dedup.jaccard_pairs_sql(

@@ -628,3 +628,27 @@ reach(id, r) AS (
 )
 SELECT id, MIN(r) AS comp FROM reach GROUP BY id
 """
+
+
+def dedup_canonical_sql(
+    pairs_sql: str, table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of dedup_canonical_drop: recursive closure, then every
+    document keeps unless it is a non-canonical cluster member."""
+    return f"""
+WITH RECURSIVE pbase AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pbase
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pbase
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+SELECT d.{id_col}, (c.id IS NULL OR c.comp = c.id) AS keep
+FROM {table} d LEFT JOIN comp c ON c.id = d.{id_col}
+"""
