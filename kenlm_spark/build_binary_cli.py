@@ -58,10 +58,20 @@ def main(argv=None) -> int:
         )
         return 0
 
-    from kenlm_spark.ngram.binary import load_model
-    from kenlm_spark.ngram.binary_writer import write_binary
+    from kenlm_spark.ngram.binary import is_binary, load_model
+    from kenlm_spark.ngram.binary_writer import (
+        write_binary,
+        write_probing_from_arpa,
+    )
 
-    write_binary(load_model(src), dst, multiplier=multiplier)
+    if not is_binary(src):
+        # ARPA input: the insertion-order-exact writer — byte-identical
+        # to the reference's build_binary output for the same flags
+        write_probing_from_arpa(src, dst, multiplier=multiplier)
+    else:
+        # binary→binary repack keeps the NGramModel-based writer (the
+        # original insertion order is not recoverable from a binary)
+        write_binary(load_model(src), dst, multiplier=multiplier)
     return 0
 
 

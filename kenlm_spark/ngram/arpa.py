@@ -178,10 +178,15 @@ def parse_arpa(f, rest: bool = False) -> NGramModel:  # noqa: C901 - mirrors the
 
             if blank_orders:
                 # AdjustLower (lm/search_hashed.cc:81-133): chain probs up.
+                # The reference accumulates in FLOAT32 (`float prob; prob
+                # += backoff`), so every step rounds to float32 here too
+                # — double accumulation drifts a ulp on multi-charge
+                # chains, which the binary writers' byte-identity checks
+                # catch.
                 if basis == 1:
-                    chain_prob = float(uni_prob[ids[-1]])
+                    chain_prob = np.float32(uni_prob[ids[-1]])
                 else:
-                    chain_prob = tables[basis][skeys[basis]][_PROB]
+                    chain_prob = np.float32(tables[basis][skeys[basis]][_PROB])
                 # context keys: ckeys[m] = key of words[n-m-1 .. n-2]
                 # (the length-m context of the (m+1)-suffix).
                 ckeys = {1: ids[-2]}
@@ -192,16 +197,18 @@ def parse_arpa(f, rest: bool = False) -> NGramModel:  # noqa: C901 - mirrors the
                 for m in sorted(blank_orders):  # ascending: basis+1 .. n-1
                     cm = m - 1
                     if cm == 1:
-                        bo = float(uni_backoff[ckeys[1]])
+                        bo = np.float32(uni_backoff[ckeys[1]])
                         activate(1, ckeys[1], required=False)
-                        chain_prob += bo
+                        chain_prob = np.float32(chain_prob + bo)
                     else:
                         ent = tables[cm].get(ckeys[cm])
                         if ent is not None:
-                            chain_prob += ent[_BACKOFF]
+                            chain_prob = np.float32(
+                                chain_prob + np.float32(ent[_BACKOFF])
+                            )
                             activate(cm, ckeys[cm], required=False)
                     tables[m][skeys[m]] = [
-                        chain_prob,
+                        float(chain_prob),
                         float(NEG_ZERO),
                         skeys[m - 1],
                     ]

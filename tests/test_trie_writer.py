@@ -149,3 +149,42 @@ def test_fuzz_deep_orders_byte_identical(tmp_path):
         if done >= 15:
             break
     assert done >= 10
+
+
+def test_fuzz_probing_byte_identical(tmp_path):
+    """The ARPA-driven probing writer (file-order + blank-discovery-order
+    insertion, ARPA header counts, probs stored as-read) matches
+    build_binary's bytes; models the reference rejects at the default
+    multiplier (blank overflow) are retried at -p 3.0 on both sides."""
+    bb = "/tmp/refbuild/build_binary"
+    if not os.path.exists(bb):
+        pytest.skip("compiled reference not present")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from diff_reference import random_arpa, random_arpa_deep
+
+    from kenlm_spark.ngram.binary_writer import write_probing_from_arpa
+
+    rng = random.Random(1212)
+    done = 0
+    for t in range(60):
+        arpa = str(tmp_path / f"p{t}.arpa")
+        (random_arpa_deep if t % 2 else random_arpa)(rng, arpa)
+        ref_out = str(tmp_path / "ref.klm")
+        our_out = str(tmp_path / "our.klm")
+        mult = 1.5
+        r = subprocess.run([bb, "probing", arpa, ref_out], capture_output=True)
+        if r.returncode:
+            mult = 3.0
+            r = subprocess.run(
+                [bb, "-p", "3.0", "probing", arpa, ref_out],
+                capture_output=True,
+            )
+            if r.returncode:
+                continue
+        write_probing_from_arpa(arpa, our_out, multiplier=mult)
+        with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+            assert a.read() == b.read(), arpa
+        done += 1
+        if done >= 30:
+            break
+    assert done >= 20
