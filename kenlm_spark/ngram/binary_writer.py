@@ -53,11 +53,14 @@ def _probing_insert(buckets: int, entries: list[tuple[int, bytes]]) -> bytearray
 
 def write_binary(model: NGramModel, path: str,
                  multiplier: float = DEFAULT_MULTIPLIER) -> None:
-    """Serialize an NGramModel as a PROBING-layout KenLM v5 binary."""
+    """Serialize an NGramModel as a PROBING-layout KenLM v5 binary.
+
+    For REST models use :func:`write_probing_from_arpa` with
+    ``rest=True`` (byte-identical to the reference's writer)."""
     if model.has_rest:
         raise NotImplementedError(
-            "writer emits the plain PROBING layout; REST models carry "
-            "extra per-entry weights (write the ARPA instead)"
+            "this sorted-view writer emits the plain PROBING layout; "
+            "write REST_PROBING with write_probing_from_arpa(rest=True)"
         )
     order = model.order
     V = len(model.vocab)
@@ -137,7 +140,8 @@ def write_binary(model: NGramModel, path: str,
 
 
 def write_probing_from_arpa(arpa_path: str, path: str,
-                            multiplier: float = DEFAULT_MULTIPLIER) -> None:
+                            multiplier: float = DEFAULT_MULTIPLIER,
+                            rest: bool = False) -> None:
     """PROBING writer with build_binary's exact byte layout.
 
     Two facts the NGramModel-based :func:`write_binary` cannot
@@ -162,7 +166,7 @@ def write_probing_from_arpa(arpa_path: str, path: str,
     from kenlm_spark.ngram.hashing import combine_word_hash
     from kenlm_spark.ngram.trie_writer import _read_raw_grams
 
-    model = load_arpa(arpa_path)
+    model = load_arpa(arpa_path, rest=rest)
     order, grams = _read_raw_grams(arpa_path)
     aid = model.vocab
     arpa_counts = [len(grams[n]) for n in range(1, order + 1)]
@@ -202,7 +206,7 @@ def write_probing_from_arpa(arpa_path: str, path: str,
     out += struct.pack("<Q", 1)
     out += struct.pack("<B3x", order)
     out += struct.pack("<f", multiplier)
-    out += struct.pack("<i", PROBING)
+    out += struct.pack("<i", 1 if rest else PROBING)  # REST_PROBING = 1
     out += struct.pack("<B3x", 1)
     out += struct.pack("<I", 0)
     out += struct.pack(f"<{order}Q", *arpa_counts)
@@ -230,8 +234,15 @@ def write_probing_from_arpa(arpa_path: str, path: str,
             np.float32
         )
 
-    uni = np.zeros(arpa_counts[0] + 1,
-                   dtype=np.dtype([("p", "<f4"), ("b", "<f4")]))
+    if rest:
+        uni = np.zeros(
+            arpa_counts[0] + 1,
+            dtype=np.dtype([("p", "<f4"), ("b", "<f4"), ("r", "<f4")]),
+        )
+        uni["r"][:V] = model.uni_rest
+    else:
+        uni = np.zeros(arpa_counts[0] + 1,
+                       dtype=np.dtype([("p", "<f4"), ("b", "<f4")]))
     uni["p"][:V] = enc_prob(model.uni_prob, model.uni_extends)
     uni["b"][:V] = model.uni_backoff
     out += uni.tobytes()
@@ -246,10 +257,18 @@ def write_probing_from_arpa(arpa_path: str, path: str,
             probs = enc_prob(
                 model.probs[n][pos], model.extends[n][pos]
             )
-            payloads = [
-                struct.pack("<2f", float(p), float(b))
-                for p, b in zip(probs, model.backoffs[n][pos])
-            ]
+            if rest:
+                payloads = [
+                    struct.pack("<3f", float(p), float(b), float(r))
+                    for p, b, r in zip(
+                        probs, model.backoffs[n][pos], model.rests[n][pos]
+                    )
+                ]
+            else:
+                payloads = [
+                    struct.pack("<2f", float(p), float(b))
+                    for p, b in zip(probs, model.backoffs[n][pos])
+                ]
         else:
             payloads = [
                 struct.pack("<f", float(p))

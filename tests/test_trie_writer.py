@@ -188,3 +188,25 @@ def test_fuzz_probing_byte_identical(tmp_path):
         if done >= 30:
             break
     assert done >= 20
+
+
+def test_rest_probing_writer_byte_identical(tmp_path):
+    """REST_PROBING (model type 1): write_probing_from_arpa(rest=True)
+    matches the reference-generated fixture byte-for-byte, and — when
+    the compiled driver is present — a freshly regenerated file too.
+    With this, all SIX build_binary-family layouts have byte-exact
+    writers."""
+    from kenlm_spark.ngram.binary_writer import write_probing_from_arpa
+
+    out = str(tmp_path / "rest.klm")
+    write_probing_from_arpa(ARPA, out, rest=True)
+    with open(out, "rb") as a, open(
+        os.path.join(FIX, "test_rest_probing.klm"), "rb"
+    ) as b:
+        assert a.read() == b.read()
+    drv = "/tmp/refbuild/make_rest_binary"
+    if os.path.exists(drv):
+        fresh = str(tmp_path / "fresh.klm")
+        subprocess.run([drv, ARPA, fresh], check=True, capture_output=True)
+        with open(out, "rb") as a, open(fresh, "rb") as b:
+            assert a.read() == b.read()
