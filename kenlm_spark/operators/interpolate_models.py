@@ -66,7 +66,12 @@ def interpolate_models(
                 ).alias("gram")
             )
             u = u.unionByName(child_sfx)
-        unions[n] = u.distinct()
+        # eager checkpoint: the unions chain is re-planned inside every
+        # downstream eval/renorm branch otherwise (same lineage-explosion
+        # trade as the evals checkpoint below; ~15% off construction on
+        # the bench models — the residual is the per-order join planning
+        # the PLANS.md note documents)
+        unions[n] = u.distinct().localCheckpoint(eager=True)
 
     # unk log-prob per model (missing <unk> → -100, lm/model.cc:121-126)
     unk_p = []
