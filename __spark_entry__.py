@@ -956,6 +956,24 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (r4): DCT pHash computed from REAL
+    decoded pixels of the deterministic image corpus, then Hamming<=6
+    near-pairs via pigeonhole bit-bands (exact recall, pytest-verified
+    against brute-force popcount). No SQL oracle: the image bytes are
+    numpy-generated, not DuckDB-reachable — rows-only check."""
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.operators.multimodal import phash_near_pairs, with_phash
+
+    images = generate_images(spark, n_rows=400, seed=17)
+    hashed = with_phash(images).select(
+        "image_id", F.col("phash_computed").alias("ph")
+    )
+    return phash_near_pairs(hashed, phash_col="ph", max_hamming=10).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: map-only fan-out of sampled frames
     from synthesized binary blobs (deterministic fake decoder — no codecs
@@ -1224,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_audio_features": q_audio_features,
         "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_phash": q_multimodal_phash,
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
         "q_events_hourly": q_events_hourly,

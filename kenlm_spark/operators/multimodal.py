@@ -279,3 +279,124 @@ def audio_features(
         run,
         "id long, win_idx long, n_samples long, rms double, zero_cross long",
     )
+
+
+# ------------------------------------------------------------- phash
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the classic pHash transform)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64_one(img: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of an RGB image (the `phash` column of
+    the north-rule input schema, computed rather than trusted):
+    grayscale → 32×32 area resample → 2-D DCT-II → sign-vs-median of the
+    top-left 8×8 low-frequency block (DC excluded from the median, the
+    standard pHash recipe). Deterministic, pure numpy."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    # block MEANS, not sums: uneven block sizes (h or w not divisible by
+    # 32) would otherwise imprint a fixed sampling comb that dominates
+    # the DCT across all images
+    sums, cnt = _block_sums(gray, 32, 32)
+    small = sums / cnt
+    freq = _DCT32 @ small @ _DCT32.T
+    block = freq[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # int64 view (the schema stores phash as a signed 64-bit column)
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def with_phash(
+    images: DataFrame, out_col: str = "phash_computed"
+) -> DataFrame:
+    """Append the computed 64-bit perceptual hash per image (map-only
+    Arrow pass over (bytes, w, h, fmt))."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            vals = []
+            for data, w, h, fmt in zip(
+                pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                img, _real = _decode_one(data, int(w), int(h), fmt)
+                vals.append(
+                    phash64_one(img) if img is not None else None
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(vals, dtype="Int64")
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in images.schema.fields
+    ) + f", {out_col} bigint"
+    return images.mapInPandas(run, schema)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(phash) <= max_hamming —
+    visually-near-duplicate images. Exact recall by pigeonhole: the
+    64-bit hash splits into max_hamming+1 bands, any qualifying pair
+    agrees on >= 1 whole band; band-bucket join + exact popcount verify
+    (the simhash banding argument on the image modality). Buckets over
+    ``max_bucket`` are dropped (flat-color boilerplate guard)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    band_structs = []
+    for b in range(n_bands):
+        shift = b * width
+        w = width if b < n_bands - 1 else 64 - shift
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(
+                    F.col(phash_col), shift
+                ).bitwiseAND(F.lit((1 << w) - 1)).alias("bucket"),
+            )
+        )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
+    )
+    bands = base.select(
+        "id", "ph", F.explode(F.array(*band_structs)).alias("_bb")
+    ).select("id", "ph", F.col("_bb.band").alias("band"),
+             F.col("_bb.bucket").alias("bucket"))
+    members = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "ph"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x.id as id_a, y.id as id_b, x.ph as ph_a, "
+        "y.ph as ph_b))))"
+    )
+    pairs = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

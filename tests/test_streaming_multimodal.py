@@ -260,3 +260,50 @@ def test_audio_features_real_pcm(spark):
     assert rows[(1, 0)]["rms"] == 1000.0 and rows[(1, 1)]["rms"] == 1000.0
     assert rows[(1, 0)]["zero_cross"] == 15  # every adjacent pair flips
     assert rows[(2, 0)]["rms"] == 0.0 and rows[(2, 0)]["zero_cross"] == 0
+
+
+def test_phash_properties(spark):
+    """DCT perceptual hash on REAL decoded pixels: stable under mild
+    noise, far for unrelated images; the pair op has pigeonhole-exact
+    recall vs a brute-force popcount over the same hashes."""
+    import numpy as np
+    from itertools import combinations
+
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.operators.multimodal import (
+        phash64_one,
+        phash_near_pairs,
+        with_phash,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-4, 5, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+    h_base, h_noisy, h_other = (
+        phash64_one(base), phash64_one(noisy), phash64_one(other)
+    )
+    near = bin((h_base ^ h_noisy) & (2**64 - 1)).count("1")
+    far = bin((h_base ^ h_other) & (2**64 - 1)).count("1")
+    assert near <= 6 < far
+
+    images = generate_images(spark, n_rows=120, seed=9)
+    hashed = with_phash(images).select("image_id", "phash_computed")
+    rows = {r["image_id"]: r["phash_computed"] for r in hashed.collect()}
+    assert len(rows) == 120 and all(v is not None for v in rows.values())
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "image_id string, ph long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(df, phash_col="ph", max_hamming=10).collect()
+    }
+    brute = {
+        tuple(sorted((a, b))): bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1")
+        for a, b in combinations(sorted(rows), 2)
+        if bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1") <= 10
+    }
+    assert got == brute
