@@ -391,6 +391,29 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist filter (r4): extract URLs + registrable
+    hosts, drop documents whose domain set hits a (broadcast) blocklist.
+    The test corpus carries no URLs, so each doc gets a deterministic
+    doc_id-derived URL appended — identical on both engines — making the
+    extract → explode → blocklist-join path non-degenerate."""
+    from kenlm_spark.filtering.urls import domain_blocklist_filter
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.lit(" visit http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page now"),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame(
+        [("site2.example.com",), ("site5.example.com",)], "domain string"
+    )
+    return domain_blocklist_filter(docs, blocklist)
+
+
 def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North rule end-to-end: langid + perplexity + heuristics + scrub →
     keep/drop + drop_reason + scrubbed text, per document."""
@@ -1201,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
         "q_repetition_metrics": q_repetition_metrics,
+        "q_url_filter": q_url_filter,
         "q_keep_drop": q_keep_drop,
         "q_keep_drop_stream": q_keep_drop_stream,
         "q_keep_drop_join": q_keep_drop_join,
@@ -1429,6 +1453,18 @@ FROM (
             f"{qm['distinct_ratio']} AS distinct_ratio "
             "FROM documents"
         ),
+        "q_url_filter": (
+            lambda: __import__(
+                "kenlm_spark.filtering.urls", fromlist=["x"]
+            ).domain_blocklist_sql(
+                ["site2.example.com", "site5.example.com"],
+                table=(
+                    "(SELECT doc_id, coalesce(text, '') || ' visit "
+                    "http://site' || CAST(doc_id % 7 AS VARCHAR) || "
+                    "'.example.com/page now' AS text FROM documents)"
+                ),
+            )
+        )(),
         "q_repetition_metrics": __import__(
             "kenlm_spark.filtering.quality", fromlist=["x"]
         ).repetition_sql_query(),

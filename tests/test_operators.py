@@ -591,3 +591,37 @@ def test_repetition_metrics_planted(spark):
     assert got[2]["tw"] == pytest.approx(4 / 5)
     assert got[3]["tb"] == pytest.approx(3 / 6)  # "the cat" 3x of 6 bigrams
     assert got[4]["dl"] == 0.0 and got[4]["tw"] == pytest.approx(1 / 5)
+
+
+def test_url_filter_planted(spark):
+    """URL metrics + blocklist filter on planted inputs: domain
+    extraction (scheme/www variants, lowercasing), blocklist drop, and
+    no-URL docs keeping."""
+    from kenlm_spark.filtering.urls import (
+        domain_blocklist_filter,
+        url_metric_exprs,
+    )
+
+    rows = [
+        (1, "see https://Bad.Example.com/x and http://ok.org/y"),
+        (2, "plain text no links"),
+        (3, "www.bad.example.com mirror"),
+        (4, "also https://fine.net only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = url_metric_exprs("text")
+    got = {
+        r["doc_id"]: (r["n"], sorted(r["d"]))
+        for r in df.select(
+            "doc_id", m["n_urls"].alias("n"), m["domains"].alias("d")
+        ).collect()
+    }
+    assert got[1] == (2, ["bad.example.com", "ok.org"])
+    assert got[2] == (0, [])
+    assert got[3] == (1, ["bad.example.com"])
+    block = spark.createDataFrame([("bad.example.com",)], "domain string")
+    keep = {
+        r["doc_id"]: r["url_keep"]
+        for r in domain_blocklist_filter(df, block).collect()
+    }
+    assert keep == {1: False, 2: True, 3: False, 4: True}
