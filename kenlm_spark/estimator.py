@@ -103,9 +103,46 @@ def compute_discount(n: dict[int, int], fallback: Discount | None = None) -> Dis
         return fallback
 
 
-def count_windows(df: DataFrame, text_col: str, order: int) -> DataFrame:
-    """Stage 1: (words: array<string>, count) of order-N windows."""
+def count_windows(
+    df: DataFrame, text_col: str, order: int,
+    disallowed_symbol: str = "throw",
+) -> DataFrame:
+    """Stage 1: (words: array<string>, count) of order-N windows.
+
+    ``disallowed_symbol`` mirrors corpus_count.cc:170-180 for literal
+    ``<s>``/``</s>``/``<unk>`` tokens in the corpus: "throw" (the
+    reference lmplz default — a format error) or "skip" (the
+    ``--skip_symbols`` behavior: treated as whitespace)."""
     toks = tokenize(text_col)
+    specials = (BOS, EOS, UNK)
+    if disallowed_symbol == "throw":
+        # fused into the scan (one streaming regex per row, no extra
+        # job): assert_true raises at execution time like the
+        # reference's single-pass reader does
+        c = F.coalesce(
+            F.col(text_col) if isinstance(text_col, str) else text_col,
+            F.lit(""),
+        )
+        bad = c.rlike(
+            "(?:^|[\\x00\\t\\n\\r ])(?:<s>|</s>|<unk>)"
+            "(?:[\\x00\\t\\n\\r ]|$)"
+        )
+        toks = F.when(
+            F.assert_true(
+                ~bad,
+                F.lit(
+                    "Special word <s>/</s>/<unk> is not allowed in the "
+                    "corpus. Pass --skip_symbols to convert these "
+                    "symbols to whitespace."
+                    # lm/builder/corpus_count.cc:179
+                ),
+            ).isNull(),
+            toks,
+        )
+    elif disallowed_symbol == "skip":
+        toks = F.filter(toks, lambda t: ~t.isin(*specials))
+    else:
+        raise ValueError("disallowed_symbol must be 'throw' or 'skip'")
     padded = F.concat(
         F.array(*[F.lit(BOS)] * (order - 1)), toks, F.array(F.lit(EOS))
     )
@@ -285,6 +322,7 @@ def estimate(
     fallback_discount: Discount | None = FALLBACK_DISCOUNT,
     prune_thresholds: dict[int, int] | None = None,
     prune_words: list[str] | None = None,
+    disallowed_symbol: str = "throw",
 ) -> tuple[DataFrame, dict[int, Discount]]:
     """Full lmplz-equivalent pipeline.
 
@@ -300,7 +338,9 @@ def estimate(
     """
     spark = df.sparkSession
     thresholds = prune_thresholds or {}
-    windows = count_windows(df, text_col, order)
+    windows = count_windows(
+        df, text_col, order, disallowed_symbol=disallowed_symbol
+    )
     grams = adjusted_counts(windows, order)
     for n in grams:
         grams[n] = grams[n].persist()

@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                     help="text column when --text is parquet")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
+        "--skip_symbols", action="store_true",
+        help="treat <s>/</s>/<unk> in the corpus as whitespace instead "
+        "of erroring (lmplz flag parity)",
+    )
+    ap.add_argument(
         "--intermediate",
         help="also write the KenLM intermediate (ModelBuffer) file set "
         "at this base path (lmplz --intermediate twin; interpolate "
@@ -99,6 +104,7 @@ def main(argv=None) -> int:
     model_df, _ = estimate(
         docs, "text", order=args.order,
         fallback_discount=fallback, prune_thresholds=prune,
+        disallowed_symbol="skip" if args.skip_symbols else "throw",
     )
     if args.intermediate:
         from kenlm_spark.ngram.model_buffer import write_model_buffer

@@ -374,3 +374,29 @@ def test_phrase_table_vocab_cli(tmp_path):
     assert set(lines[1].split()) == {
         "another", "sentence", "here", "satz", "hier",
     }
+
+
+def test_lmplz_skip_symbols(tmp_path, spark):
+    """corpus_count.cc disallowed-symbol parity: literal <s>/</s>/<unk>
+    in the corpus is a format error by default; --skip_symbols treats
+    them as whitespace (identical model to the cleaned corpus)."""
+    from kenlm_spark.estimator import count_windows
+
+    bad = spark.createDataFrame(
+        [("hello <s> world",), ("fine line",)], "text string"
+    )
+    with pytest.raises(Exception, match="Special word"):
+        count_windows(bad, "text", 2).collect()
+    skipped = {
+        tuple(r["words"]): r["count"]
+        for r in count_windows(bad, "text", 2,
+                               disallowed_symbol="skip").collect()
+    }
+    clean = spark.createDataFrame(
+        [("hello world",), ("fine line",)], "text string"
+    )
+    expect = {
+        tuple(r["words"]): r["count"]
+        for r in count_windows(clean, "text", 2).collect()
+    }
+    assert skipped == expect
