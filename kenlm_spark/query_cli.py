@@ -100,6 +100,17 @@ def main(argv=None) -> int:
         "-v", dest="verbosity", default=None,
         choices=["word", "sentence", "summary", "0", "1", "2"],
     )
+    ap.add_argument(
+        "-b", dest="flush", action="store_true",
+        help="Do not buffer output (accepted for flag parity; python "
+        "stdout is line-flushed here anyway)",
+    )
+    ap.add_argument(
+        "-l", dest="load_method", default=None,
+        choices=["lazy", "populate", "read", "parallel"],
+        help="Load method (accepted for flag parity; numpy arrays load "
+        "eagerly here)",
+    )
     args = ap.parse_args(argv)
 
     pw = pl = ps = False
