@@ -38,6 +38,18 @@ def main(argv=None) -> int:
     quant_bits = take("-q", int)
     backoff_bits = take("-b", int)
     array_bits = take("-a", int)
+    unknown_logprob = take("-u", float)
+    for flag in ("-T", "-S", "-w", "-m", "-t"):  # sort/temp/write knobs:
+        take(flag, str)  # accepted for parity; no staged sort here
+    include_vocab = True
+    for noarg in ("-s", "-i", "-v"):
+        while noarg in args:
+            args.remove(noarg)
+            if noarg == "-v":
+                include_vocab = False
+            # -s (silence missing <s>/<\/s>) and -i (silence positive
+            # prob warning) are warning-level toggles; parsing already
+            # tolerates both inputs
     if args and args[0] in ("probing", "trie"):
         kind = args.pop(0)
     if len(args) != 2:
@@ -55,6 +67,7 @@ def main(argv=None) -> int:
         write_trie(
             src, dst, multiplier=multiplier, quant_bits=quant_bits,
             backoff_bits=backoff_bits, array_bits=array_bits,
+            unknown_logprob=unknown_logprob, include_vocab=include_vocab,
         )
         return 0
 
@@ -67,7 +80,10 @@ def main(argv=None) -> int:
     if not is_binary(src):
         # ARPA input: the insertion-order-exact writer — byte-identical
         # to the reference's build_binary output for the same flags
-        write_probing_from_arpa(src, dst, multiplier=multiplier)
+        write_probing_from_arpa(
+            src, dst, multiplier=multiplier,
+            unknown_logprob=unknown_logprob, include_vocab=include_vocab,
+        )
     else:
         # binary→binary repack keeps the NGramModel-based writer (the
         # original insertion order is not recoverable from a binary)

@@ -58,16 +58,22 @@ def _open(path: str):
     return open(path, encoding="utf-8")
 
 
-def load_arpa(path: str, rest: bool = False) -> NGramModel:
+def load_arpa(path: str, rest: bool = False,
+              unknown_logprob: float | None = None) -> NGramModel:
     with _open(path) as f:
-        return parse_arpa(f, rest=rest)
+        return parse_arpa(f, rest=rest, unknown_logprob=unknown_logprob)
 
 
-def loads_arpa(text: str, rest: bool = False) -> NGramModel:
-    return parse_arpa(io.StringIO(text), rest=rest)
+def loads_arpa(text: str, rest: bool = False,
+               unknown_logprob: float | None = None) -> NGramModel:
+    return parse_arpa(io.StringIO(text), rest=rest,
+                      unknown_logprob=unknown_logprob)
 
 
-def parse_arpa(f, rest: bool = False) -> NGramModel:  # noqa: C901 - mirrors the reference loader
+def parse_arpa(f, rest: bool = False,
+               unknown_logprob: float | None = None) -> NGramModel:  # noqa: C901 - mirrors the reference loader
+    """``unknown_logprob`` overrides the -100 substituted for a missing
+    ``<unk>`` (build_binary's -u / Config::unknown_missing_logprob)."""
     # --- \data\ header (lm/read_arpa.cc:47-86)
     line = f.readline()
     while line and line.strip() == "":
@@ -112,7 +118,11 @@ def parse_arpa(f, rest: bool = False) -> NGramModel:  # noqa: C901 - mirrors the
     uni_prob = np.zeros(vocab_size, dtype=np.float32)
     uni_backoff = np.full(vocab_size, NEG_ZERO, dtype=np.float32)
     if not saw_unk:
-        uni_prob[0] = UNKNOWN_MISSING_LOGPROB  # lm/model.cc:121-126
+        uni_prob[0] = (
+            UNKNOWN_MISSING_LOGPROB
+            if unknown_logprob is None
+            else np.float32(unknown_logprob)
+        )  # lm/model.cc:121-126 / build_binary -u
         uni_backoff[0] = POS_ZERO
     for wid, prob, backoff in uni_rows:
         uni_prob[wid] = prob

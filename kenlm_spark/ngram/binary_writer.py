@@ -130,10 +130,11 @@ def write_binary(model: NGramModel, path: str,
         ) if len(keys) else bytes(nb * (8 + (8 if n < order else 4)))
 
     # --- vocabulary strings, id order, NUL-joined (vocab.cc:67-79)
-    by_id = sorted(model.vocab.items(), key=lambda kv: kv[1])
-    assert by_id[0][0] == UNK
-    for w, _ in by_id:
-        out += w.encode("utf-8") + b"\x00"
+    if include_vocab:  # strings omitted by build_binary -v
+        by_id = sorted(model.vocab.items(), key=lambda kv: kv[1])
+        assert by_id[0][0] == UNK
+        for w, _ in by_id:
+            out += w.encode("utf-8") + b"\x00"
 
     with open(path, "wb") as fh:
         fh.write(bytes(out))
@@ -141,7 +142,9 @@ def write_binary(model: NGramModel, path: str,
 
 def write_probing_from_arpa(arpa_path: str, path: str,
                             multiplier: float = DEFAULT_MULTIPLIER,
-                            rest: bool = False) -> None:
+                            rest: bool = False,
+                            unknown_logprob: float | None = None,
+                            include_vocab: bool = True) -> None:
     """PROBING writer with build_binary's exact byte layout.
 
     Two facts the NGramModel-based :func:`write_binary` cannot
@@ -166,7 +169,7 @@ def write_probing_from_arpa(arpa_path: str, path: str,
     from kenlm_spark.ngram.hashing import combine_word_hash
     from kenlm_spark.ngram.trie_writer import _read_raw_grams
 
-    model = load_arpa(arpa_path, rest=rest)
+    model = load_arpa(arpa_path, rest=rest, unknown_logprob=unknown_logprob)
     order, grams = _read_raw_grams(arpa_path)
     aid = model.vocab
     arpa_counts = [len(grams[n]) for n in range(1, order + 1)]
@@ -207,7 +210,7 @@ def write_probing_from_arpa(arpa_path: str, path: str,
     out += struct.pack("<B3x", order)
     out += struct.pack("<f", multiplier)
     out += struct.pack("<i", 1 if rest else PROBING)  # REST_PROBING = 1
-    out += struct.pack("<B3x", 1)
+    out += struct.pack("<B3x", 1 if include_vocab else 0)
     out += struct.pack("<I", 0)
     out += struct.pack(f"<{order}Q", *arpa_counts)
     out += b"\x00" * (_align8(len(out)) - len(out))
@@ -277,10 +280,11 @@ def write_probing_from_arpa(arpa_path: str, path: str,
         assert len(seq[n]) < nb, "blank overflow past table capacity"
         out += _probing_insert(nb, list(zip((int(k) for k in seq[n]), payloads)))
 
-    by_id = sorted(model.vocab.items(), key=lambda kv: kv[1])
-    assert by_id[0][0] == UNK
-    for w, _ in by_id:
-        out += w.encode("utf-8") + b"\x00"
+    if include_vocab:  # strings omitted by build_binary -v
+        by_id = sorted(model.vocab.items(), key=lambda kv: kv[1])
+        assert by_id[0][0] == UNK
+        for w, _ in by_id:
+            out += w.encode("utf-8") + b"\x00"
 
     with open(path, "wb") as fh:
         fh.write(bytes(out))

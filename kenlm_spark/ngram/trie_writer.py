@@ -194,7 +194,9 @@ def write_trie(arpa_path: str, out_path: str,
                multiplier: float = DEFAULT_MULTIPLIER,
                quant_bits: int | None = None,
                backoff_bits: int | None = None,
-               array_bits: int | None = None) -> None:
+               array_bits: int | None = None,
+               unknown_logprob: float | None = None,
+               include_vocab: bool = True) -> None:
     """Serialize an ARPA file as a TRIE-layout KenLM v5 binary.
 
     ``quant_bits``/``backoff_bits`` (both or neither; the reference's
@@ -212,17 +214,11 @@ def write_trie(arpa_path: str, out_path: str,
     model_type = TRIE_TYPE + (1 if quantized else 0) + (
         2 if array_bits is not None else 0
     )
-    model = load_arpa(arpa_path)
+    model = load_arpa(arpa_path, unknown_logprob=unknown_logprob)
     order, grams = _read_raw_grams(arpa_path)
     if order < 2:
         raise ValueError("trie layout needs order >= 2")
-    if not any(g[0] in (UNK, "<UNK>") for g in grams[1]):
-        # SortedVocabulary requires <unk> in the ARPA (the reference
-        # errors with "The ARPA file is missing <unk>" by default)
-        raise ValueError(
-            "trie writer requires <unk> in the ARPA (reference "
-            "build_binary default)"
-        )
+    saw_unk = any(g[0] in (UNK, "<UNK>") for g in grams[1])
 
     # ---- SortedVocabulary ids: <unk>=0, others by murmur hash rank
     words = [w for w in model.vocab if w != UNK]
@@ -252,7 +248,10 @@ def write_trie(arpa_path: str, out_path: str,
             h = combine_word_hash(h, ids[len(ids) - m])
         return h
 
-    # ---- per level: sort by reversed trie-id tuple, fetch weights
+    # ---- per level: sort by reversed trie-id tuple, fetch weights.
+    # trie header counts[0] = bound (a synthesized <unk> IS counted here,
+    # unlike the probing header — measured against build_binary on
+    # no-<unk> ARPAs)
     counts_fixed = [bound] + [len(tuples[n]) for n in range(2, order + 1)]
     word_bits = _required_bits(counts_fixed[0])
 
@@ -413,16 +412,17 @@ def write_trie(arpa_path: str, out_path: str,
     out += struct.pack("<B3x", order)
     out += struct.pack("<f", multiplier)
     out += struct.pack("<i", model_type)
-    out += struct.pack("<B3x", 1)  # has_vocabulary
+    out += struct.pack("<B3x", 1 if include_vocab else 0)
     out += struct.pack("<I", TRIE_SEARCH_VERSION)
     assert len(out) == _SANITY_SIZE + _FIXED_SIZE
     out += struct.pack(f"<{order}Q", *counts_fixed)
     out += b"\x00" * (_align8(len(out)) - len(out))
 
     # vocab region: u64 count + sorted hashes, sized 8*(counts[0]+1)
+    # (counts[0] = bound, so this holds with or without an ARPA <unk>)
     out += struct.pack("<Q", len(hashes))
     out += hashes[hsort].tobytes()
-    out += b"\x00" * 8  # region is sized for counts[0] hashes + header
+    out += b"\x00" * 8
 
     # quant region: 8-byte header then per-middle (prob, backoff) tables
     # and the longest prob table (lm/quantize.cc SetupMemory layout)
@@ -525,10 +525,11 @@ def write_trie(arpa_path: str, out_path: str,
         _scatter_bits(region, offs + np.uint64(word_bits), p31, 31)
     out += region.tobytes()
 
-    # vocab strings, id order, NUL-joined
-    by_id = sorted(trie_id.items(), key=lambda kv: kv[1])
-    for w, _ in by_id:
-        out += w.encode("utf-8") + b"\x00"
+    # vocab strings, id order, NUL-joined (omitted by build_binary -v)
+    if include_vocab:
+        by_id = sorted(trie_id.items(), key=lambda kv: kv[1])
+        for w, _ in by_id:
+            out += w.encode("utf-8") + b"\x00"
 
     with open(out_path, "wb") as fh:
         fh.write(bytes(out))

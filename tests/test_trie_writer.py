@@ -67,9 +67,20 @@ def test_roundtrip_through_our_reader(tmp_path):
             assert (l1, o1) == (l2, o2)
 
 
-def test_missing_unk_rejected(tmp_path):
-    with pytest.raises(ValueError, match="<unk>"):
-        write_trie(os.path.join(FIX, "test_nounk.arpa"), str(tmp_path / "x"))
+def test_missing_unk_synthesized(tmp_path):
+    """A no-<unk> ARPA builds (the reference COMPLAINs and substitutes
+    -100) — byte-identical to build_binary when present."""
+    bb = "/tmp/refbuild/build_binary"
+    if not os.path.exists(bb):
+        pytest.skip("compiled reference not present")
+    arpa = os.path.join(FIX, "test_nounk.arpa")
+    ref_out = str(tmp_path / "ref.klm")
+    subprocess.run([bb, "trie", arpa, ref_out], check=True,
+                   capture_output=True)
+    our_out = str(tmp_path / "our.klm")
+    write_trie(arpa, our_out)
+    with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+        assert a.read() == b.read()
 
 
 def test_cli_trie_mode(tmp_path):
@@ -210,3 +221,32 @@ def test_rest_probing_writer_byte_identical(tmp_path):
         subprocess.run([drv, ARPA, fresh], check=True, capture_output=True)
         with open(out, "rb") as a, open(fresh, "rb") as b:
             assert a.read() == b.read()
+
+
+def test_build_binary_extra_flags_byte_identical(tmp_path):
+    """-u (unknown substitute), -v (omit vocab strings), and no-<unk>
+    ARPAs match build_binary's bytes for both probing and trie."""
+    bb = "/tmp/refbuild/build_binary"
+    if not os.path.exists(bb):
+        pytest.skip("compiled reference not present")
+    from kenlm_spark.build_binary_cli import main as bb_main
+
+    nounk = os.path.join(FIX, "test_nounk.arpa")
+
+    cases = [
+        (["-v", "probing"], ["-v", "probing"], ARPA),
+        (["-v", "trie"], ["-v", "trie"], ARPA),
+        (["probing"], ["probing"], nounk),
+        (["trie"], ["trie"], nounk),
+        (["-u", "-33.25", "probing"], ["-u", "-33.25", "probing"], nounk),
+        (["-u", "-33.25", "trie"], ["-u", "-33.25", "trie"], nounk),
+    ]
+    for ref_flags, our_flags, arpa in cases:
+        ref_out = str(tmp_path / "ref.klm")
+        our_out = str(tmp_path / "our.klm")
+        subprocess.run(
+            [bb, *ref_flags, arpa, ref_out], check=True, capture_output=True
+        )
+        assert bb_main([*our_flags, arpa, our_out]) == 0
+        with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+            assert a.read() == b.read(), (ref_flags, arpa)
