@@ -130,11 +130,10 @@ def write_binary(model: NGramModel, path: str,
         ) if len(keys) else bytes(nb * (8 + (8 if n < order else 4)))
 
     # --- vocabulary strings, id order, NUL-joined (vocab.cc:67-79)
-    if include_vocab:  # strings omitted by build_binary -v
-        by_id = sorted(model.vocab.items(), key=lambda kv: kv[1])
-        assert by_id[0][0] == UNK
-        for w, _ in by_id:
-            out += w.encode("utf-8") + b"\x00"
+    by_id = sorted(model.vocab.items(), key=lambda kv: kv[1])
+    assert by_id[0][0] == UNK
+    for w, _ in by_id:
+        out += w.encode("utf-8") + b"\x00"
 
     with open(path, "wb") as fh:
         fh.write(bytes(out))
