@@ -682,6 +682,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (r4): per-language keep
+    fractions decided by a pure hash of the doc id — stable across
+    runs, partitionings, and engines (unlike DataFrame.sample's
+    per-partition RNG), which is what makes a 100-TB sampling job
+    reproducible and resumable. Downsamples English, keeps the rest."""
+    from kenlm_spark.filtering.langid import lang_expr
+    from kenlm_spark.operators.dedup import stratified_sample
+
+    docs = _docs(spark, sf_dir).withColumn("lang", lang_expr("text"))
+    out = stratified_sample(
+        docs, "lang", {"en": 0.3, "und": 1.0}, default_fraction=0.8
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup transitive closure (r4): connected components over the
     MinHash near-dup pair graph — (id, comp) with comp = min reachable
@@ -1241,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_stats_stream": q_events_user_stats_stream,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_components": q_dedup_components,
+        "q_sample_stratified": q_sample_stratified,
         "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1499,6 +1516,21 @@ FROM (
             "round(sum(value), 3) AS sum_value FROM events GROUP BY user_id"
         ),
         "q_dedup_minhash": dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5),
+        "q_sample_stratified": (
+            lambda: (
+                lambda langs, ss: ss(
+                    "lang", {"en": 0.3, "und": 1.0}, default_fraction=0.8,
+                    table=f"(SELECT doc_id, {langs} AS lang FROM documents)",
+                ).replace("SELECT *", "SELECT doc_id, lang")
+            )(
+                __import__(
+                    "kenlm_spark.filtering.langid", fromlist=["x"]
+                ).lang_sql("text"),
+                __import__(
+                    "kenlm_spark.operators.dedup", fromlist=["x"]
+                ).stratified_sample_sql,
+            )
+        )(),
         "q_dedup_components": dedup.dedup_components_sql(
             dedup.minhash_lsh_pairs_sql(jaccard_threshold=0.5)
         ),

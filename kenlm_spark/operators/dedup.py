@@ -652,3 +652,76 @@ comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
 SELECT d.{id_col}, (c.id IS NULL OR c.comp = c.id) AS keep
 FROM {table} d LEFT JOIN comp c ON c.id = d.{id_col}
 """
+
+
+# ------------------------------------------------- deterministic sampling
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Reproducible Bernoulli-style sampling: keep a row iff
+    ``h60(salt || id) mod 1_000_000 < fraction * 1_000_000``.
+
+    Unlike ``DataFrame.sample`` (per-partition XORShift — results change
+    with partitioning and engine), the decision is a pure function of
+    the row id: stable across runs, partition layouts, engines (the
+    DuckDB twin agrees row-for-row), and resumable jobs — the property a
+    training-data pipeline needs so re-running a 100-TB sample job
+    selects the SAME documents. Map-only, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bucket = F.pmod(
+        h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return df.filter(bucket < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample low-quality /
+    overrepresented-language strata): ``fractions`` maps stratum value →
+    keep fraction; unlisted strata use ``default_fraction``. Same
+    hash-threshold decision as :func:`deterministic_sample` — map-only,
+    engine-stable, no shuffle."""
+    bucket = F.pmod(
+        h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    thr = F.lit(int(default_fraction * 1_000_000))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * 1_000_000))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    """DuckDB twin: identical 60-bit hash, identical thresholds."""
+    h = _h60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN ({strata_expr}) = '{v}' THEN {int(f * 1_000_000)}"
+        for v, f in sorted(fractions.items())
+    )
+    thr = f"CASE {cases} ELSE {int(default_fraction * 1_000_000)} END"
+    return f"""
+SELECT * FROM {table}
+WHERE ({h} % 1000000 + 1000000) % 1000000 < {thr}
+"""

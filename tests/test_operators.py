@@ -625,3 +625,33 @@ def test_url_filter_planted(spark):
         for r in domain_blocklist_filter(df, block).collect()
     }
     assert keep == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_deterministic_sample_stability(spark):
+    """Hash-threshold sampling is a pure function of the id: identical
+    row sets across repartitionings (where DataFrame.sample is not),
+    fraction within statistical tolerance, strata respected."""
+    from kenlm_spark.operators.dedup import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.25).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(13), 0.25).collect()
+    }
+    assert a == b
+    assert abs(len(a) / 20000 - 0.25) < 0.02
+
+    strat = df.withColumn(
+        "s", (F.col("doc_id") % 2 == 0).cast("string")
+    )
+    out = stratified_sample(strat, "s", {"true": 0.1, "false": 0.9})
+    counts = {
+        r["s"]: r["n"]
+        for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["true"] / 10000 - 0.1) < 0.02
+    assert abs(counts["false"] / 10000 - 0.9) < 0.02
