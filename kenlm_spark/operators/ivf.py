@@ -25,6 +25,31 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kenlm_spark.operators.dedup import h60
+
+_SAMPLE_SALT = "ivfsamp:"
+
+
+def _sample_filter(id_col: str, frac: float):
+    """Hash-threshold training-sample predicate (the repo's
+    deterministic_sample primitive): keep iff
+    h60(salt || id) mod 1e6 < frac*1e6.  Map-only and a pure function of
+    the id — the by-id tie-break sort that follows runs over the sampled
+    subset, never the corpus (the r4 orderBy(id).limit(n) corpus-wide
+    top-K is gone).  h60 is 60-bit and non-negative, so plain %% agrees
+    with the DuckDB twin."""
+    bucket = F.pmod(
+        h60(F.concat(F.lit(_SAMPLE_SALT), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return bucket < int(frac * 1_000_000)
+
+
+def _sample_where_sql(id_expr: str, frac: float) -> str:
+    h = (f"CAST(('0x' || substring(md5('{_SAMPLE_SALT}' || "
+         f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)")
+    return f"({h} % 1000000) < {int(frac * 1_000_000)}"
+
 
 def train_centroids(
     emb: DataFrame,
@@ -33,10 +58,18 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample: int = 4096,
+    sample_frac: float = 0.5,
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means over a by-id sample."""
+    """Deterministic Lloyd k-means over a hash-threshold sample.
+
+    At corpus scale set ``sample_frac`` to a few x ``sample`` / corpus
+    rows; the threshold filter is map-only and the residual by-id
+    top-``sample`` runs over the sampled subset only."""
+    cand = emb
+    if sample_frac is not None and sample_frac < 1.0:
+        cand = emb.filter(_sample_filter(id_col, sample_frac))
     rows = (
-        emb.orderBy(id_col).limit(sample).select(id_col, vec_col).collect()
+        cand.orderBy(id_col).limit(sample).select(id_col, vec_col).collect()
     )
     X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     cent = X[:k].copy()
@@ -92,6 +125,7 @@ def ivf_topk_sql(
     n_probe: int = 2,
     iters: int = 5,
     sample: int = 4096,
+    sample_frac: float = 0.5,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -112,7 +146,13 @@ def ivf_topk_sql(
   SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
   FROM {table}
 )""",
-        f"samp AS (SELECT nid, v FROM base ORDER BY nid LIMIT {sample})",
+        "samp AS (SELECT nid, v FROM base"
+        + (
+            f" WHERE {_sample_where_sql('nid', sample_frac)}"
+            if sample_frac is not None and sample_frac < 1.0
+            else ""
+        )
+        + f" ORDER BY nid LIMIT {sample})",
         "dims AS (SELECT unnest(generate_series(1, "
         "(SELECT len(v) FROM base LIMIT 1))) AS d)",
         f"""cent0 AS (
@@ -248,15 +288,19 @@ def ivf_topk(
 
 def _pq_codebooks(
     emb: DataFrame, m: int, n_codes: int, id_col: str, vec_col: str,
+    sample_frac: float = 0.5,
 ) -> np.ndarray:
     """(m, n_codes, sub) sampled codebooks: subvectors of the first
-    ``n_codes`` vectors by id. A deterministic "sampled codebook" PQ
+    ``n_codes`` hash-threshold-sampled vectors by id. A deterministic "sampled codebook" PQ
     variant (vs k-means-trained centers): same storage and query
     structure, slightly lower recall, and — the point here — an exactly
     reproducible DuckDB twin. Swapping in Lloyd-trained codebooks is the
     `train_centroids` pattern per subspace."""
+    cand = emb
+    if sample_frac is not None and sample_frac < 1.0:
+        cand = emb.filter(_sample_filter(id_col, sample_frac))
     rows = (
-        emb.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+        cand.orderBy(id_col).limit(n_codes).select(vec_col).collect()
     )
     X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     dim = X.shape[1]
@@ -435,7 +479,9 @@ def ivf_pq_topk_sql(
 cb AS (
   SELECT j.j, row_number() OVER (PARTITION BY j.j ORDER BY b.nid) - 1 AS code,
          b.v AS c
-  FROM (SELECT nid, v FROM base ORDER BY nid LIMIT {n_codes}) b
+  FROM (SELECT nid, v FROM base
+        WHERE {_sample_where_sql('nid', 0.5)}
+        ORDER BY nid LIMIT {n_codes}) b
   CROSS JOIN (SELECT unnest(generate_series(1, {m})) AS j) j
 ),
 codes AS (

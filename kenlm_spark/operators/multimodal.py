@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
@@ -380,10 +380,17 @@ def phash_near_pairs(
         "id", "ph", F.explode(F.array(*band_structs)).alias("_bb")
     ).select("id", "ph", F.col("_bb.band").alias("band"),
              F.col("_bb.bucket").alias("bucket"))
+    # Size-filter BEFORE collect_list (r5, mirrors minhash_lsh_pairs): a
+    # flat-color bucket would otherwise accumulate its whole (id, ph)
+    # struct array in one non-spillable aggregation buffer.  The window
+    # count shares the (band, bucket) hash partitioning with the groupBy,
+    # so this is still one exchange, and WindowExec's row buffer spills.
+    w_bucket = Window.partitionBy("band", "bucket")
     members = (
-        bands.groupBy("band", "bucket")
+        bands.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("id", "ph"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
     )
     pair_expr = F.expr(
         "flatten(transform(ms, (x, i) -> "

@@ -95,7 +95,7 @@ class QualityFilterPipeline:
                 raise ValueError(
                     "join scorer implements learned-backoff semantics only"
                 )
-            from kenlm_spark.ngram.join_scorer import build_key_bloom
+            from kenlm_spark.ngram.join_scorer import key_bloom_from_model
 
             mdf = model_table(spark, model)
             self._join_model = (
@@ -105,10 +105,13 @@ class QualityFilterPipeline:
                 model.bos_id,
                 model.eos_id,
             )
-            # one distributed pass over the model keys → broadcastable
-            # candidate filter (a few bits/key); prunes the join-scorer's
-            # O(order×tokens) shuffle map-side with zero semantic change
-            self._key_bloom = build_key_bloom(mdf)
+            # broadcastable candidate filter (a few bits/key); prunes the
+            # join-scorer's O(order×tokens) shuffle map-side with zero
+            # semantic change.  The model is resident on the driver here,
+            # so build the bloom from its arrays directly (microseconds);
+            # from_model_tables uses the distributed build_key_bloom pass
+            # (bit-identical) when only parquet tables exist.
+            self._key_bloom = key_bloom_from_model(model)
             self.scorer = None
         else:
             self.scorer = SparkNGramScorer(

@@ -198,6 +198,47 @@ def test_benchmark_cli_vocab_and_query(tmp_path):
         assert got == pytest.approx(ref_sum, rel=1e-5)
 
 
+def test_benchmark_cli_threads_same_sum(tmp_path):
+    """-t N (fork pool over contiguous sentence ranges) must report the
+    same probability sum and query count as the single-process path, and
+    an empty id stream must not raise (ZeroDivision guards)."""
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    sentences = [
+        "looking on a little more loin",
+        "on a little more loin",
+        "screening on considering",
+        "foo bar zzz unknown",
+    ] * 3
+    text = "".join(s + "\n" for s in sentences)
+    klm = os.path.join(FIX, "test_probing.klm")
+    conv = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.benchmark_cli", "-v", "-m", klm],
+        input=text.encode(), capture_output=True,
+    )
+    query = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.benchmark_cli", "-q", "-m", klm,
+         "-t", "4"],
+        input=conv.stdout, capture_output=True,
+    )
+    assert query.returncode == 0, query.stderr
+    out = query.stdout.decode()
+    assert "Threads: 4" in out
+    got = float(
+        re.search(r"Probability sum: (\S+)", query.stderr.decode()).group(1)
+    )
+    m = load_arpa(ARPA)
+    expect = sum(m.score(s) for s in sentences)
+    assert got == pytest.approx(expect, rel=1e-5)
+    # empty stream: degenerate rates, no traceback
+    empty = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.benchmark_cli", "-q", "-m", klm],
+        input=b"", capture_output=True,
+    )
+    assert empty.returncode == 0, empty.stderr
+    assert "Queries: 0" in empty.stdout.decode()
+
+
 def test_count_ngrams_dump_counts_roundtrip(tmp_path, spark):
     """count_ngrams/dump_counts twins: binary record format (order×u32 +
     u64, SuffixOrder) + NUL vocab list round-trip to the transcribed

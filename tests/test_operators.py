@@ -45,6 +45,53 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_bucket_guard_prefilters_and_keeps_one_exchange(spark):
+    """r5 OOM guard: the (band, bucket) size filter runs BEFORE
+    collect_list via a window count sharing the groupBy's hash
+    partitioning — oversized buckets never reach the aggregation list
+    buffer, and the plan still has exactly ONE Exchange (the window's)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        (F.col("id") % 5).alias("band"),
+        (F.col("id") % 7).alias("bucket"),
+        "id",
+    )
+    w = Window.partitionBy("band", "bucket")
+    out = (
+        df.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= 10))
+        .groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange") == 1
+    # and FilterExec sits below the aggregate (guard precedes the list)
+    assert final.index("Filter") > final.index("HashAggregate") or \
+        "ObjectHashAggregate" in final
+
+
+def test_minhash_degenerate_bucket_dropped(spark):
+    """A boilerplate mega-bucket (all-identical docs) is dropped by
+    max_bucket BEFORE list materialization; distinct docs still pair."""
+    from kenlm_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, "boilerplate header text repeated verbatim") for i in range(40)]
+    rows += [(100, base), (101, base + " ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, jaccard_threshold=0.4, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in pairs
+    assert not any(a < 100 for a, _ in pairs)
+
+
 def test_simhash_hamming_for_near_text(spark):
     from kenlm_spark.operators.dedup import simhash
 
