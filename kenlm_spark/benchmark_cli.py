@@ -45,13 +45,32 @@ _PROC_T0 = time.perf_counter()
 _FORK_STATE: dict = {}
 
 
+# ~512k tokens per score_batch call: the flat per-order searchsorted
+# arrays stay cache-resident (one 5.5M-token mega-batch measured 1.9x
+# slower than the same stream in 512k slices)
+_BATCH_TOKENS = int(os.environ.get("KENLM_SPARK_BATCH_TOKENS", 1 << 19))
+
+
+def _score_sents(model, sents) -> float:
+    total, start, ntok = 0.0, 0, 0
+    for i, sent in enumerate(sents):
+        ntok += len(sent) + 2
+        if ntok >= _BATCH_TOKENS:
+            probs, _, _ = model.score_batch(
+                sents[start: i + 1], bos=True, eos=True
+            )
+            total += float(np.sum(probs))
+            start, ntok = i + 1, 0
+    if start < len(sents):
+        probs, _, _ = model.score_batch(sents[start:], bos=True, eos=True)
+        total += float(np.sum(probs))
+    return total
+
+
 def _score_chunk(idx: int) -> float:
     model = _FORK_STATE["model"]
     lo, hi = _FORK_STATE["bounds"][idx], _FORK_STATE["bounds"][idx + 1]
-    probs, _, _ = model.score_batch(
-        _FORK_STATE["sents"][lo:hi], bos=True, eos=True
-    )
-    return float(np.sum(probs))
+    return _score_sents(model, _FORK_STATE["sents"][lo:hi])
 
 
 def _width(bound: int) -> str:
@@ -96,8 +115,7 @@ def query_from_bytes(model, fin, fout, ferr, threads: int = 1) -> dict:
     t_os0 = os.times()
     t0_cpu, t0 = time.process_time(), time.perf_counter()
     if n_workers <= 1:
-        probs, _, _ = model.score_batch(sents, bos=True, eos=True)
-        total = float(np.sum(probs))
+        total = _score_sents(model, sents)
     else:
         # -t path: fork pool over contiguous sentence ranges; the model
         # arrays are inherited copy-on-write (one resident copy, like

@@ -113,3 +113,61 @@ def test_interpolate_cli_reads_model_buffer(tmp_path, spark):
     for s_ in ["the table has rows", "executors run the shuffle",
                "unseen words here"]:
         assert m1.score(s_) == pytest.approx(m2.score(s_), abs=1e-4)
+
+
+def test_streaming_example_cli_split(tmp_path):
+    """streaming_example twin: backoff stream preserves input (suffix)
+    order; csorted stream is the same (ids, prob) multiset re-sorted in
+    ContextOrder (penultimate word most significant, last word least —
+    lm/common/compare.hh:104-127); both metadata files carry the input
+    counts."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from kenlm_spark.streaming_example_cli import _read_meta
+
+    rows = _rows_from_arpa(ARPA)
+    base = str(tmp_path / "ngrams")
+    write_model_buffer(rows, 5, base)
+    cs, bo = str(tmp_path / "csorted"), str(tmp_path / "backoffs")
+    r = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.streaming_example_cli",
+         "-n", base, "-c", cs, "-b", bo, "-t", str(tmp_path)],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr
+    counts = _read_meta(base)
+    assert _read_meta(cs) == counts
+    assert _read_meta(bo) == counts
+    for n in range(1, 6):
+        rec = struct.calcsize(f"<{n}I2f")
+        raw = np.fromfile(f"{base}.{n}", dtype=np.uint8).reshape(-1, rec)
+        in_ids = raw[:, : 4 * n].copy().view("<u4").reshape(-1, n)
+        in_prob = raw[:, 4 * n: 4 * n + 4].copy().view("<f4").ravel()
+        in_bo = raw[:, 4 * n + 4:].copy().view("<f4").ravel()
+        # backoff stream: float32 per record, input order, bit-exact
+        got_bo = np.fromfile(f"{bo}.{n}", dtype="<f4")
+        assert np.array_equal(
+            got_bo.view(np.uint32), in_bo.view(np.uint32)
+        )
+        # csorted stream: no backoff in the record
+        crec = 4 * n + 4
+        craw = np.fromfile(f"{cs}.{n}", dtype=np.uint8).reshape(-1, crec)
+        got_ids = craw[:, : 4 * n].copy().view("<u4").reshape(-1, n)
+        got_prob = craw[:, 4 * n:].copy().view("<f4").ravel()
+        assert len(got_ids) == counts[n - 1]
+        # context order: nondecreasing under (ids[n-2]..ids[0], ids[n-1])
+        key_cols = [got_ids[:, j] for j in range(n - 2, -1, -1)] + [
+            got_ids[:, n - 1]
+        ]
+        keys = list(zip(*[c.tolist() for c in key_cols]))
+        assert keys == sorted(keys)
+        # same multiset of (ids, prob) as the input
+        def multiset(ids, probs):
+            return sorted(
+                (tuple(i), float(np.float32(p)))
+                for i, p in zip(ids.tolist(), probs.tolist())
+            )
+        assert multiset(got_ids, got_prob) == multiset(in_ids, in_prob)
