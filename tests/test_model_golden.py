@@ -394,3 +394,50 @@ class TestVocabSurface:
     def test_word_ids_dense_and_unique(self, model):
         ids = sorted(model.vocab.values())
         assert ids == list(range(model.vocab_size))
+
+
+def test_probing_fast_path_bit_identical_to_searchsorted():
+    """score_batch's r5 probing-table fast path must gather the exact
+    same payload elements as the searchsorted path — scores compared as
+    raw float64 bits over random id sentences (OOV ids included)."""
+    import numpy as np
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    m = load_arpa(str(FIXTURES / "test.arpa"))
+    rng = np.random.Generator(np.random.PCG64(3))
+    sents = [
+        rng.integers(0, m.vocab_size, size=rng.integers(1, 30)).astype(
+            np.int64
+        )
+        for _ in range(300)
+    ]
+    # force-build tables below the size threshold so the fast path runs
+    from kenlm_spark.ngram.model import _build_probing_table
+
+    m._ptables = {
+        n: _build_probing_table(m.keys[n]) for n in range(2, m.order + 1)
+    }
+    p1, o1, n1 = m.score_batch(sents, bos=True, eos=True)
+    assert any(
+        m._ptables.get(n) is not None for n in range(2, m.order + 1)
+    ), "probing path not exercised"
+    m._ptable = lambda n: None  # force the searchsorted fallback
+    p2, o2, n2 = m.score_batch(sents, bos=True, eos=True)
+    assert np.array_equal(p1.view(np.uint64), p2.view(np.uint64))
+    assert np.array_equal(o1, o2) and np.array_equal(n1, n2)
+
+
+def test_probing_table_never_pickled():
+    """Broadcast payload contract: the lazy probing index is excluded
+    from pickle (executors rebuild it in one vectorized pass)."""
+    import pickle
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    from kenlm_spark.ngram.model import _build_probing_table
+
+    m = load_arpa(str(FIXTURES / "test.arpa"))
+    m._ptables = {2: _build_probing_table(m.keys[2])}
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2._ptables == {}
