@@ -427,6 +427,95 @@ def fuzz_binary_loader(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
     return checked, worst
 
 
+def big_model_probing_leg(kenlm, n_sents: int = 4000) -> tuple[int, float]:
+    """Differential check of score_batch's PROBING fast path (r5): a
+    random model with >16,384 bigrams — past _PROBING_MIN_KEYS, so the
+    order-2 lookups go through the open-addressing index — scored
+    against the compiled reference on random sentences. The toy
+    fixtures never cross the threshold; this leg is what pins the fast
+    path at a size where it actually engages."""
+    import numpy as np
+
+    rng = random.Random(977)
+    vocab = [f"v{i}" for i in range(300)]
+    path = "/tmp/diffref_big.arpa"
+    nxt = vocab + ["</s>"]
+    ctx = ["<s>"] + vocab
+    bi = set()
+    while len(bi) < 24000:
+        bi.add((rng.choice(ctx), rng.choice(nxt)))
+    bis = sorted(bi)
+    # trigram suffixes must (mostly) exist as bigrams: rampant suffix
+    # holes make the reference hallucinate one blank per hole and
+    # overflow its probing table at multiplier 1.5
+    # (lm/search_hashed.cc:288 ProbingSizeException); keep ~2% holes to
+    # still exercise blank hallucination at this size
+    succ = {}
+    for a, b in bis:
+        succ.setdefault(a, []).append(b)
+    tri = set()
+    bi_nonend = [g for g in bis if g[1] != "</s>" and g[1] in succ]
+    while len(tri) < 20000:
+        a, b = rng.choice(bi_nonend)
+        if rng.random() < 0.02:
+            c = rng.choice(nxt)
+        else:
+            c = rng.choice(succ[b])
+        tri.add((a, b, c))
+    tris = sorted(tri)
+
+    def p() -> float:
+        return round(-rng.uniform(0.05, 4.5), 4)
+
+    def bo() -> float:
+        return round(rng.choice([0.0, -rng.uniform(0.05, 2.0)]), 4)
+
+    with open(path, "w") as fh:
+        fh.write("\\data\\\n")
+        fh.write(f"ngram 1={len(vocab) + 3}\n")
+        fh.write(f"ngram 2={len(bis)}\n")
+        fh.write(f"ngram 3={len(tris)}\n")
+        fh.write("\n\\1-grams:\n")
+        fh.write(f"{p()}\t<unk>\t0.0\n")
+        fh.write("0.0\t<s>\t" + str(bo()) + "\n")
+        fh.write(f"{p()}\t</s>\t0.0\n")
+        for w in vocab:
+            fh.write(f"{p()}\t{w}\t{bo()}\n")
+        fh.write("\n\\2-grams:\n")
+        for a, b in bis:
+            fh.write(f"{p()}\t{a} {b}\t{bo()}\n")
+        fh.write("\n\\3-grams:\n")
+        for a, b, c in tris:
+            fh.write(f"{p()}\t{a} {b} {c}\n")
+        fh.write("\n\\end\\\n")
+
+    from kenlm_spark.ngram.arpa import load_arpa
+    from kenlm_spark.ngram.model import _PROBING_MIN_KEYS
+
+    ours = load_arpa(path)
+    assert len(ours.keys[2]) >= _PROBING_MIN_KEYS, "leg must cross threshold"
+    ref = kenlm.Model(path)
+    words = vocab + ["zzz_oov"]
+    sents = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(1, 18)))
+        for _ in range(n_sents)
+    ]
+    ids = [
+        np.asarray(ours.map_ids(t.split()), dtype=np.int64) for t in sents
+    ]
+    got, _, _ = ours.score_batch(ids, bos=True, eos=True)
+    assert ours._ptables.get(2) is not None, "probing path not engaged"
+    worst = 0.0
+    for i, sent in enumerate(sents):
+        d = abs(ref.score(sent, bos=True, eos=True) - float(got[i]))
+        worst = max(worst, d)
+        if d > 1e-3:
+            raise AssertionError(
+                f"BIG-MODEL BATCH MISMATCH {sent!r}: d={d}"
+            )
+    return len(sents), worst
+
+
 def writer_roundtrip_via_reference(kenlm) -> int:
     """S5 writer validation with the real parser: estimate a model with
     OUR estimator, write ARPA with OUR writer, load it with the COMPILED
@@ -580,6 +669,9 @@ def main() -> int:
         kenlm, n_models=max(n // 40, 20), n_sents=40
     )
     writer_checked = writer_roundtrip_via_reference(kenlm)
+    big_checked, big_worst = big_model_probing_leg(
+        kenlm, n_sents=max(n, 500)
+    )
     bin_checked, bin_worst = fuzz_binary_loader(
         kenlm, n_models=max(n // 100, 8), n_sents=25
     )
@@ -617,6 +709,12 @@ def main() -> int:
         "hallucination, optional <unk>, random backoffs incl. 0.0) scored",
         "by both engines on random sentences: "
         f"**{fuzz_checked}** checks, worst |Δ| = **{fuzz_worst:.2e}**.",
+        "",
+        "Big-model probing fast path (r5): a 24k-bigram/20k-trigram",
+        "random model — past the 16,384-key threshold, so score_batch's",
+        "open-addressing probing index engages — vs the compiled",
+        f"reference per sentence: **{big_checked}** sentences, worst",
+        f"|Δ| = **{big_worst:.2e}**.",
         "",
         "Writer round-trip: our estimator's model written by OUR ARPA",
         "writer, parsed by the COMPILED reference, scores equal to our",
