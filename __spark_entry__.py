@@ -603,6 +603,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (passage-granular, r5): Lee-et-al-style substring dedup at
+    fixed 10-token passages — first global occurrence survives, docs
+    reassembled from surviving passages."""
+    from kenlm_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir), window=10)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flagging (r5): distinct 5-gram overlap of
+    every corpus doc against a deterministic held-out "benchmark" slice
+    (doc_id % 97 == 0) — the GPT-3/Pile decontamination rule as one
+    explode + hash equi-join + groupBy."""
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.operators.dedup import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, bench, shingle_k=5)
+
+
 def _stream_src(sf_dir: str, name: str) -> str:
     """Streaming file sources need a DIRECTORY; the testdata tables are
     single files. Stage a per-sf copy once under /tmp and reuse it."""
@@ -1241,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q1": q_tpch_q1,
         "q_orders_customer_revenue": q_orders_customer_revenue,
         "q_events_hourly": q_events_hourly,
+        "q_dedup_passages": q_dedup_passages,
+        "q_contamination": q_contamination,
         "q_score_captions": q_score_captions,
         "q_score_captions_binary": q_score_captions_binary,
         "q_score_captions_trie": q_score_captions_trie,
@@ -1510,6 +1536,12 @@ FROM (
             "documents", "text", 3, prune_thresholds={2: 1, 3: 1}
         ),
         "q_dedup_exact": dedup.exact_duplicates_sql(),
+        "q_dedup_passages": dedup.passage_dedup_sql(window=10),
+        "q_contamination": dedup.contamination_check_sql(
+            corpus_where="doc_id % 97 <> 0",
+            benchmark_where="doc_id % 97 = 0",
+            shingle_k=5,
+        ),
         "q_dedup_exact_stream": (
             "SELECT DISTINCT CAST(('0x' || substring(md5("
             "regexp_replace(lower(coalesce(text, '')), '[\\x00\\t\\n\\r ]+', ' ', 'g')"

@@ -534,6 +534,201 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
+# ----------------------------------------------------- passages / contamination
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> DataFrame:
+    """Passage-granular exact dedup — the corpus-level substring-dedup
+    shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") approximated at fixed ``window``-token
+    passages: each document splits into consecutive non-overlapping
+    passages, only the FIRST global occurrence of each distinct passage
+    survives (ordered by (doc_id, passage index) — deterministic), and
+    surviving passages reassemble per document.
+
+    Returns (doc_id, clean_text, n_passages, n_dropped).  Two shuffles
+    at any scale: one hash-partition by passage for the first-occurrence
+    window, one groupBy doc for reassembly — no similarity joins, no
+    candidate blowup; the passage strings themselves never leave the
+    executors twice (the window carries (doc, idx) only).
+    """
+    toks = F.array_remove(F.split(norm_text(text_col), " "), "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n_pass = F.ceil(F.size("toks") / F.lit(window)).cast("int")
+    passages = (
+        base.withColumn(
+            "i",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_pass - 1, F.lit(0)))
+            ),
+        )
+        .withColumn(
+            "p",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("i") * window + 1, window)
+            ),
+        )
+        .filter(F.col("p") != "")
+        .select("id", "i", "p")
+    )
+    w = Window.partitionBy("p").orderBy("id", "i")
+    kept = passages.withColumn("rn", F.row_number().over(w))
+    per_doc = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("i", "p"),
+                            )
+                        )
+                    ),
+                    lambda st: st["p"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
+def passage_dedup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array({_norm_sql(text_col)}, ' '), "
+        "t -> t <> '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM {table}
+),
+passages AS (
+  SELECT id, i, array_to_string(
+           list_slice(toks, i * {window} + 1, i * {window} + {window}), ' '
+         ) AS p
+  FROM base, unnest(generate_series(
+         0, greatest(CAST(ceil(len(toks) / {window}.0) AS INTEGER) - 1, 0)
+       )) AS t(i)
+),
+ranked AS (
+  SELECT id, i, p,
+         row_number() OVER (PARTITION BY p ORDER BY id, i) AS rn
+  FROM passages WHERE p <> ''
+),
+per_doc AS (
+  SELECT id,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY i),
+                  '') AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_passages,
+         CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+  FROM ranked GROUP BY id
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(pd.clean_text, '') AS clean_text,
+       coalesce(pd.n_passages, 0) AS n_passages,
+       coalesce(pd.n_dropped, 0) AS n_dropped
+FROM {table} d LEFT JOIN per_doc pd ON pd.id = d.{id_col}
+"""
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination flagging: for every corpus document, the
+    number of DISTINCT ``shingle_k``-gram shingles it shares with the
+    benchmark set (the n-gram-overlap decontamination rule of GPT-3
+    appendix C / The Pile).  Returns (doc_id, n_overlap, contaminated).
+
+    Shape at scale: both sides reduce to distinct 64-bit shingle hashes
+    before the equi-join — the benchmark side (eval sets are small
+    relative to a training corpus) aggregates to a distinct-hash set
+    that AQE broadcasts; the corpus side is one explode + one join +
+    one groupBy, no crossJoin anywhere.
+    """
+    def grams(d: DataFrame):
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_expr(text_col, shingle_k)).alias("g"),
+        ).select("id", h60(F.col("g")).alias("gh"))
+
+    bench_g = grams(benchmark).select("gh").distinct()
+    hits = (
+        grams(corpus)
+        .join(bench_g, "gh")
+        .groupBy("id")
+        .agg(F.count_distinct("gh").cast("long").alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_check_sql(
+    corpus_where: str,
+    benchmark_where: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> str:
+    sh = _shingles_sql(text_col, shingle_k)
+    return f"""
+WITH bench_g AS (
+  SELECT DISTINCT {_h60_sql('g')} AS gh
+  FROM (SELECT unnest({sh}) AS g FROM {table} WHERE {benchmark_where})
+),
+doc_g AS (
+  SELECT id, {_h60_sql('g')} AS gh FROM (
+    SELECT {id_col} AS id, unnest({sh}) AS g
+    FROM {table} WHERE {corpus_where}
+  )
+),
+hits AS (
+  SELECT d.id, CAST(count(DISTINCT d.gh) AS BIGINT) AS n_overlap
+  FROM doc_g d JOIN bench_g b ON b.gh = d.gh
+  GROUP BY d.id
+)
+SELECT c.{id_col} AS doc_id,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM {table} c LEFT JOIN hits h ON h.id = c.{id_col}
+WHERE {corpus_where.replace(id_col, 'c.' + id_col)}
+"""
+
+
 # ------------------------------------------------- components / canonical
 
 

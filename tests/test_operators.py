@@ -702,3 +702,49 @@ def test_deterministic_sample_stability(spark):
     }
     assert abs(counts["true"] / 10000 - 0.1) < 0.02
     assert abs(counts["false"] / 10000 - 0.9) < 0.02
+
+
+def test_passage_dedup_planted(spark):
+    """A passage (10-token window) duplicated across docs survives only
+    in its first (doc_id, index) occurrence; clean text reassembles the
+    surviving passages in order."""
+    from kenlm_spark.operators.dedup import passage_dedup
+
+    shared = "a b c d e f g h i j"  # exactly one window
+    rows = [
+        (1, shared + " unique tail one two three four five six seven x"),
+        (2, shared + " other words here that do not repeat at all y"),
+        (3, "completely different text with ten distinct tokens here z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in passage_dedup(df, window=10).collect()}
+    assert out[1]["clean_text"].startswith(shared)
+    assert out[1]["n_dropped"] == 0
+    # doc 2's first window == shared -> dropped; its second window stays
+    assert out[2]["n_dropped"] == 1
+    assert not out[2]["clean_text"].startswith(shared)
+    assert "other words here" in out[2]["clean_text"]
+    assert out[3]["n_dropped"] == 0
+
+
+def test_contamination_planted(spark):
+    """A corpus doc sharing a 5-gram with the benchmark is flagged with
+    the distinct-overlap count; clean docs report 0."""
+    from kenlm_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "today the quick brown fox jumps far away"),
+            (2, "entirely unrelated words about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in contamination_check(corpus, bench).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
