@@ -567,7 +567,14 @@ class NGramModel:
             if T > n - 1:
                 shifted[n - 1 :] = flat_u[: T - n + 1]
             key = combine_word_hash_vec(key, shifted)
-            valid = pos_in_sent >= (n - 1)
+            # ARPA suffix closure (the invariant the loader's blank
+            # hallucination maintains, lm/search_hashed.cc:57-133, and
+            # the reference's own lookup loop walks up through): an
+            # order-n gram exists only if its (n-1)-suffix — the gram
+            # ending at the same position — exists.  Gating on
+            # found[n-1] skips probes that cannot hit; results are
+            # bit-identical (A/B-pinned in tests/test_model_golden.py).
+            valid = (pos_in_sent >= (n - 1)) & found[n - 1]
             ks = self.keys[n]
             table = self._ptable(n)
             if table is not None:
