@@ -1108,6 +1108,34 @@ def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_langid_nb(docs, weights, priors)
 
 
+def q_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination (r5): the contamination check as a
+    STREAM-STATIC join — streaming corpus docs against the static
+    benchmark 5-gram hash set (the production shape: eval-set hashes
+    are a slowly-changing static table; ingest is a stream). Drained
+    with availableNow; must hash-match q_contamination's oracle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.operators.dedup import contamination_check
+    from kenlm_spark.streaming.jobs import run_available_now
+
+    src = _stream_src(sf_dir, "documents")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 97 != 0)
+    )
+    bench = spark.read.parquet(src).filter(F.col("doc_id") % 97 == 0)
+    out = contamination_check(stream, bench, shingle_k=5)
+    name = f"contamination_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(out, name)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: predicted vs provided language histogram."""
     from kenlm_spark.filtering.langid import lang_expr
@@ -1267,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_dedup_passages": q_dedup_passages,
         "q_contamination": q_contamination,
+        "q_contamination_stream": q_contamination_stream,
         "q_score_captions": q_score_captions,
         "q_score_captions_binary": q_score_captions_binary,
         "q_score_captions_trie": q_score_captions_trie,
@@ -1537,6 +1566,11 @@ FROM (
         ),
         "q_dedup_exact": dedup.exact_duplicates_sql(),
         "q_dedup_passages": dedup.passage_dedup_sql(window=10),
+        "q_contamination_stream": dedup.contamination_check_sql(
+            corpus_where="doc_id % 97 <> 0",
+            benchmark_where="doc_id % 97 = 0",
+            shingle_k=5,
+        ),
         "q_contamination": dedup.contamination_check_sql(
             corpus_where="doc_id % 97 <> 0",
             benchmark_where="doc_id % 97 = 0",

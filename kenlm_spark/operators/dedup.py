@@ -679,19 +679,26 @@ def contamination_check(
         ).select("id", h60(F.col("g")).alias("gh"))
 
     bench_g = grams(benchmark).select("gh").distinct()
-    hits = (
-        grams(corpus)
-        .join(bench_g, "gh")
-        .groupBy("id")
-        .agg(F.count_distinct("gh").cast("long").alias("n_overlap"))
+    # One LEFT join + ONE aggregation: every doc emits >=1 shingle
+    # (shingles_expr yields [""] for empty text), so grouping the
+    # left-joined gram stream by id covers zero-overlap docs without
+    # joining back to the corpus — one fewer shuffle, and the shape
+    # stays legal on a STREAMING corpus side (no distinct agg — (id,
+    # gh) pairs are already unique since shingles_expr emits DISTINCT
+    # shingles per doc and the benchmark side is distinct on gh — and
+    # no stream-stream join).
+    marked = grams(corpus).join(
+        bench_g.withColumn("_hit", F.lit(1)), "gh", "left"
     )
     return (
-        corpus.select(F.col(id_col).alias("doc_id"))
-        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        marked.groupBy("id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap")
+        )
         .select(
-            "doc_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            F.col("id").alias("doc_id"),
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
 
