@@ -748,3 +748,82 @@ def test_contamination_planted(spark):
     }
     assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
     assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+
+
+def test_passage_dedup_matches_bruteforce(spark):
+    """Randomized parity vs a pure-python first-global-occurrence
+    oracle over a tiny alphabet (forcing cross-doc passage collisions)."""
+    import random
+
+    rng = random.Random(42)
+    alpha = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(alpha) for _ in range(rng.randrange(0, 35))))
+        for i in range(60)
+    ]
+    W = 4
+    from kenlm_spark.operators.dedup import passage_dedup
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_passages"], r["n_dropped"])
+        for r in passage_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), window=W
+        ).collect()
+    }
+    seen: set[str] = set()
+    for did, text in rows:  # rows are in (doc_id, idx) order already
+        toks = text.split()
+        passages = [
+            " ".join(toks[i : i + W]) for i in range(0, len(toks), W)
+        ]
+        keep = []
+        dropped = 0
+        for p in passages:
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                keep.append(p)
+        expect = (" ".join(keep), len(passages), dropped)
+        assert got[did] == expect, (did, got[did], expect)
+
+
+def test_contamination_matches_bruteforce(spark):
+    """Randomized parity vs pure-python shingle-set intersection."""
+    import random
+
+    rng = random.Random(7)
+    alpha = ["x", "y", "z", "w"]
+    K = 3
+
+    def mk(n):
+        return [
+            (i, " ".join(rng.choice(alpha) for _ in range(rng.randrange(0, 20))))
+            for i in range(n)
+        ]
+
+    bench_rows = [(100 + i, t) for i, t in enumerate(t for _, t in mk(10))]
+    corpus_rows = mk(40)
+
+    def sh(text):
+        toks = text.split()
+        if len(toks) >= K:
+            return {
+                " ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)
+            }
+        return {" ".join(toks)}
+
+    bench_set = set().union(*(sh(t) for _, t in bench_rows))
+    from kenlm_spark.operators.dedup import contamination_check
+
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_check(
+            spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+            spark.createDataFrame(bench_rows, "doc_id long, text string"),
+            shingle_k=K,
+        ).collect()
+    }
+    for did, text in corpus_rows:
+        n = len(sh(text) & bench_set)
+        assert got[did] == (n, n > 0), (did, got[did], n)
