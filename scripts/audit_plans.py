@@ -61,6 +61,8 @@ def main() -> None:
         "q_dedup_embedding (bucketed LSH + verify)": em.q_dedup_embedding(spark, sf),
         "q_score_captions_join (no-broadcast scorer)": em.q_score_captions_join(spark, sf),
         "q_keep_drop_join (full pipeline, distributed model)": em.q_keep_drop_join(spark, sf),
+        "q_dedup_passages (window-partition + reassemble, r5)": em.q_dedup_passages(spark, sf),
+        "q_contamination (one-shuffle stream-static shape, r5)": em.q_contamination(spark, sf),
     }
 
     lines = [
