@@ -555,7 +555,12 @@ def passage_dedup(
     at any scale: one hash-partition by passage for the first-occurrence
     window, one groupBy doc for reassembly — no similarity joins, no
     candidate blowup; the passage strings themselves never leave the
-    executors twice (the window carries (doc, idx) only).
+    executors twice (the window carries (doc, idx) only).  The final
+    left join re-scans the corpus for zero-token docs, but column-pruned
+    to the single id column (audited: ReadSchema struct<doc_id:bigint>)
+    — deliberately chosen over routing empty docs through the passage
+    window, which would funnel every empty doc into one ''-partition
+    (a skew hot spot at web scale, where empty docs are billions).
     """
     toks = F.array_remove(F.split(norm_text(text_col), " "), "")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
