@@ -531,18 +531,32 @@ class NGramModel:
         lens = np.fromiter((len(t) for t in token_id_lists), np.int64, n_sent)
         pad = (1 if bos else 0) + (1 if eos else 0)
         full_lens = lens + pad
-        # Flat token stream with per-sentence BOS/EOS.
-        flat = np.empty(int(full_lens.sum()), dtype=np.int64)
+        # Flat token stream with per-sentence BOS/EOS, built without a
+        # per-sentence Python loop: concatenate the raw tokens, then
+        # scatter them past the BOS slots in one fancy-index assignment.
+        T0 = int(full_lens.sum())
+        flat = np.empty(T0, dtype=np.int64)
         starts = np.zeros(n_sent, dtype=np.int64)
         np.cumsum(full_lens[:-1], out=starts[1:])
-        for i, toks in enumerate(token_id_lists):
-            s = starts[i]
-            if bos:
-                flat[s] = self.bos_id
-                s += 1
-            flat[s : s + lens[i]] = toks
-            if eos:
-                flat[s + lens[i]] = self.eos_id
+        if bos:
+            flat[starts] = self.bos_id
+        if eos:
+            flat[starts + full_lens - 1] = self.eos_id
+        if len(token_id_lists) == 1:
+            body = np.asarray(token_id_lists[0], dtype=np.int64)
+        else:
+            body = (
+                np.concatenate(token_id_lists).astype(np.int64, copy=False)
+                if any(lens)
+                else np.empty(0, dtype=np.int64)
+            )
+        # positions of the body tokens: for sentence i they occupy
+        # [starts[i]+bos, starts[i]+bos+lens[i])
+        body_sent = np.repeat(np.arange(n_sent), lens)
+        body_off = np.arange(len(body)) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens[:-1]))), lens
+        )
+        flat[starts[body_sent] + (1 if bos else 0) + body_off] = body
 
         T = len(flat)
         # Position within sentence (0-based).
@@ -554,11 +568,14 @@ class NGramModel:
         # sentence-local history exists: pos_in_sent[t] >= n-1).
         flat_u = flat.astype(np.uint64)
         found = np.zeros((N + 1, T), dtype=bool)
-        prob_at = np.zeros((N + 1, T), dtype=np.float64)
         bo_at = np.zeros((N + 1, T), dtype=np.float64)
 
         found[1] = True
-        prob_at[1] = self.uni_prob[flat]
+        # longest-match tracking is incremental: k/token_prob overwrite
+        # per order (same values the old (N+1,T) where/max +
+        # take_along_axis produced, without the temporaries)
+        k = np.ones(T, dtype=np.int64)
+        token_prob = self.uni_prob[flat].astype(np.float64)
         bo_at[1] = self.uni_backoff[flat]
 
         key = flat_u.copy()
@@ -587,7 +604,8 @@ class NGramModel:
                 hit = idx_full >= 0
                 found[n] = hit
                 if hit.any():
-                    prob_at[n][hit] = self.probs[n][idx_full[hit]]
+                    k[hit] = n
+                    token_prob[hit] = self.probs[n][idx_full[hit]]
                     if n < N:
                         bo_at[n][hit] = self.backoffs[n][idx_full[hit]]
                 continue
@@ -598,15 +616,13 @@ class NGramModel:
                 hit &= ks[idx_c] == key
             found[n] = hit
             if hit.any():
-                prob_at[n][hit] = self.probs[n][idx_c[hit]]
+                k[hit] = n
+                token_prob[hit] = self.probs[n][idx_c[hit]]
                 if n < N:
                     bo_at[n][hit] = self.backoffs[n][idx_c[hit]]
 
-        # Longest found order per position (orders above the available
-        # context are marked not-found via `valid`).
-        order_grid = np.arange(N + 1).reshape(-1, 1)
-        k = np.max(np.where(found, order_grid, 0), axis=0)  # >= 1 everywhere
-        token_prob = np.take_along_axis(prob_at, k.reshape(1, -1), axis=0)[0]
+        # (k/token_prob already track the longest found order per
+        # position — orders above the available context never set them.)
 
         # Backoff charges: sum of bo(ctx_m at t-1) for m in [k[t], L[t]]
         # where L[t] = min(pos_in_sent[t], N-1).
@@ -628,11 +644,11 @@ class NGramModel:
         # Score every position except a leading BOS.
         scored = pos_in_sent > 0 if bos else np.ones(T, dtype=bool)
         contrib = np.where(scored, token_prob, 0.0)
-        sent_scores = np.zeros(n_sent)
-        np.add.at(sent_scores, sent_idx, contrib)
+        sent_scores = np.bincount(sent_idx, weights=contrib, minlength=n_sent)
         oov = np.where(scored & (flat == 0), 1, 0)
-        sent_oov = np.zeros(n_sent, dtype=np.int64)
-        np.add.at(sent_oov, sent_idx, oov)
+        sent_oov = np.bincount(sent_idx, weights=oov, minlength=n_sent).astype(
+            np.int64
+        )
         n_scored = lens + (1 if eos else 0)
         if return_tokens:
             detail = (
