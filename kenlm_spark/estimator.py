@@ -205,23 +205,41 @@ def adjusted_counts(windows: DataFrame, order: int) -> dict[int, DataFrame]:
 
 def count_histograms(
     grams: dict[int, DataFrame], order: int
-) -> dict[int, dict[int, int]]:
-    """Stage 3 input: n[k] per order for k=1..4 (one tiny collect per order).
+) -> tuple[dict[int, dict[int, int]], dict[int, int]]:
+    """Stage 3 input: (n[k] per order for k=1..4, total gram count per
+    order) — ALL orders in ONE union + ONE collect (r5: was one job per
+    order plus a separate count() job for the type total; driver-side
+    statistics jobs are pure latency at any scale).
 
     Order-N statistics exclude windows with a second <s> (AddFull is reached
     only when no <s> occurs beyond position 0, adjust_counts.cc:307-320) —
     exactly the collapsed model set, which ``grams[order]`` already is.
     """
-    hists: dict[int, dict[int, int]] = {}
+    parts = []
     for n, df in grams.items():
-        rows = (
-            df.filter((F.col("count") >= 1) & (F.col("count") <= 4))
-            .groupBy("count")
-            .agg(F.count("*").alias("k"))
-            .collect()
+        parts.append(
+            df.select(
+                F.lit(n).alias("n"),
+                F.when(
+                    (F.col("count") >= 1) & (F.col("count") <= 4),
+                    F.col("count"),
+                )
+                .otherwise(F.lit(0))
+                .alias("bucket"),
+            )
         )
-        hists[n] = {int(r["count"]): int(r["k"]) for r in rows}
-    return hists
+    u = parts[0]
+    for pdf in parts[1:]:
+        u = u.unionByName(pdf)
+    rows = u.groupBy("n", "bucket").agg(F.count("*").alias("k")).collect()
+    hists: dict[int, dict[int, int]] = {n: {} for n in grams}
+    totals: dict[int, int] = {n: 0 for n in grams}
+    for r in rows:
+        n, bucket, k = int(r["n"]), int(r["bucket"]), int(r["k"])
+        totals[n] += k
+        if bucket >= 1:
+            hists[n][bucket] = k
+    return hists, totals
 
 
 def pruned_expr(
@@ -344,13 +362,14 @@ def estimate(
     grams = adjusted_counts(windows, order)
     for n in grams:
         grams[n] = grams[n].persist()
-    hists = count_histograms(grams, order)
+    hists, gram_totals = count_histograms(grams, order)
     discounts = {
         n: compute_discount(hists[n], fallback_discount) for n in range(1, order + 1)
     }
 
-    # types = distinct unigrams (includes <unk>, <s>, </s>).
-    types = grams[1].count()
+    # types = distinct unigrams (includes <unk>, <s>, </s>) — already
+    # counted by the folded histogram job.
+    types = gram_totals[1]
     uniform = 1.0 / float(types - 1)  # excludes <s>, interpolate.cc:144-146
 
     initial: dict[int, DataFrame] = {}
