@@ -250,3 +250,53 @@ def test_build_binary_extra_flags_byte_identical(tmp_path):
         assert bb_main([*our_flags, arpa, our_out]) == 0
         with open(ref_out, "rb") as a, open(our_out, "rb") as b:
             assert a.read() == b.read(), (ref_flags, arpa)
+
+
+def test_big_model_byte_identical_all_layouts(tmp_path):
+    """47k-gram model (24k bigrams / 20k trigrams): byte-identity with
+    build_binary across probing + all four trie layouts at a size where
+    Bhiksha bit widths and quantization bins differ from the small
+    fixtures (r5 — the prior fuzz never left toy sizes)."""
+    bb = "/tmp/refbuild/build_binary"
+    if not os.path.exists(bb):
+        pytest.skip("compiled reference not present")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import diff_reference as dr
+
+    kenlm = dr.ensure_reference_module()
+    dr.big_model_probing_leg(kenlm, n_sents=5)  # writes the big ARPA
+    arpa = "/tmp/diffref_big.arpa"
+
+    from kenlm_spark.ngram.binary_writer import write_probing_from_arpa
+
+    cases = [
+        ("probing", [], lambda o: write_probing_from_arpa(arpa, o)),
+        ("trie", ["trie"], lambda o: write_trie(arpa, o)),
+        (
+            "trie_q",
+            ["trie", "-q", "8", "-b", "8"],
+            lambda o: write_trie(arpa, o, quant_bits=8, backoff_bits=8),
+        ),
+        (
+            "trie_a",
+            ["trie", "-a", "64"],
+            lambda o: write_trie(arpa, o, array_bits=64),
+        ),
+        (
+            "trie_qa",
+            ["trie", "-q", "8", "-b", "8", "-a", "64"],
+            lambda o: write_trie(
+                arpa, o, quant_bits=8, backoff_bits=8, array_bits=64
+            ),
+        ),
+    ]
+    for name, flags, fn in cases:
+        ref_out = str(tmp_path / f"{name}_ref.klm")
+        our_out = str(tmp_path / f"{name}_ours.klm")
+        args = [bb, *flags, arpa, ref_out] if flags else [bb, arpa, ref_out]
+        subprocess.run(args, check=True, capture_output=True)
+        fn(our_out)
+        with open(ref_out, "rb") as a, open(our_out, "rb") as b:
+            assert a.read() == b.read(), f"layout {name} diverged"
