@@ -307,3 +307,35 @@ def test_phash_properties(spark):
         if bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1") <= 10
     }
     assert got == brute
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: the streaming corpus joined to the
+    static benchmark hash set must emit exactly the batch result."""
+    from kenlm_spark.operators.dedup import contamination_check
+    from kenlm_spark.streaming.jobs import run_available_now
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "an entirely unrelated set of words right here"),
+        (3, "quick brown fox jumps over whatever else today"),
+        (4, ""),
+    ]
+    bench_rows = [(100, "brown fox jumps over the lazy dog tonight")]
+    src = str(tmp_path / "docs_dir")
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus.write.parquet(src)
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_rows = run_available_now(
+        contamination_check(stream, bench, shingle_k=3), "contam_test"
+    )
+    batch = contamination_check(
+        spark.read.parquet(src), bench, shingle_k=3
+    ).collect()
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in stream_rows}
+    want = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in batch}
+    assert got == want
+    assert got[1][1] and got[3][1] and not got[2][1] and not got[4][1]
