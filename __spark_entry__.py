@@ -1136,6 +1136,66 @@ def q_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (r5 showpiece): the pipeline operators
+    COMPOSED into one lazy plan — exact-dedup canonical selection +
+    benchmark decontamination + the full quality keep/drop + a
+    deterministic 50% hash sample — emitting per-document stage
+    attribution and the final `selected` bit. This is the job a
+    training-data pipeline actually runs; every stage reuses an
+    oracle-checked operator and Catalyst optimizes the composition as
+    one DAG (no intermediate materialization)."""
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.operators.dedup import (
+        contamination_check,
+        exact_duplicates,
+        h60,
+        norm_text,
+    )
+
+    docs = _docs(spark, sf_dir)
+    kd = _keep_drop_frame(spark, docs).select("doc_id", "keep")
+    dups = exact_duplicates(docs).select(
+        F.col("text_hash").alias("_th"), "keep_id"
+    )
+    canon = (
+        docs.select("doc_id", h60(norm_text("text")).alias("_th"))
+        .join(dups, "_th")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cont = contamination_check(docs, bench, shingle_k=5).select(
+        "doc_id", "contaminated"
+    )
+    bucket = F.pmod(
+        h60(F.concat(F.lit("curate:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    sampled = docs.select("doc_id", (bucket < 500_000).alias("in_sample"))
+    return (
+        canon.join(cont, "doc_id")
+        .join(kd, "doc_id")
+        .join(sampled, "doc_id")
+        .select(
+            "doc_id",
+            "is_canonical",
+            "contaminated",
+            F.col("keep").alias("quality_keep"),
+            "in_sample",
+            (
+                F.col("is_canonical")
+                & ~F.col("contaminated")
+                & F.col("keep")
+                & F.col("in_sample")
+            ).alias("selected"),
+        )
+    )
+
+
 def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: predicted vs provided language histogram."""
     from kenlm_spark.filtering.langid import lang_expr
@@ -1296,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_passages": q_dedup_passages,
         "q_contamination": q_contamination,
         "q_contamination_stream": q_contamination_stream,
+        "q_corpus_curation": q_corpus_curation,
         "q_score_captions": q_score_captions,
         "q_score_captions_binary": q_score_captions_binary,
         "q_score_captions_trie": q_score_captions_trie,
@@ -1551,6 +1612,37 @@ FROM (
         "q_keep_drop": keep_drop,
         "q_keep_drop_stream": keep_drop,
         "q_keep_drop_join": keep_drop,
+        "q_corpus_curation": f"""
+WITH kd AS ({keep_drop}),
+th AS (
+  SELECT doc_id,
+         {dedup._h60_sql(dedup._norm_sql('text'))} AS h
+  FROM documents
+),
+
+dups AS (SELECT h, MIN(doc_id) AS keep_id FROM th GROUP BY h),
+canon AS (
+  SELECT t.doc_id, t.doc_id = d.keep_id AS is_canonical
+  FROM th t JOIN dups d ON d.h = t.h
+),
+ct AS ({dedup.contamination_check_sql(
+        corpus_where="1 = 1",
+        benchmark_where="doc_id % 97 = 0",
+        shingle_k=5,
+    )})
+SELECT c.doc_id, c.is_canonical, ct.contaminated,
+       kd.keep AS quality_keep,
+       ((CAST(('0x' || substring(md5('curate:' ||
+           CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000000 + 1000000) % 1000000) < 500000 AS in_sample,
+       (c.is_canonical AND NOT ct.contaminated AND kd.keep AND
+        ((CAST(('0x' || substring(md5('curate:' ||
+            CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000 + 1000000) % 1000000) < 500000) AS selected
+FROM canon c
+JOIN ct ON ct.doc_id = c.doc_id
+JOIN kd ON kd.doc_id = c.doc_id
+""",
         "q_ngram_count_2": ngram_counts_sql("text", "documents", n=2, pad=True),
         "q_ngram_count_3": ngram_counts_sql("text", "documents", n=3, pad=True),
         "q_word_freq": (
