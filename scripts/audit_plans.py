@@ -63,6 +63,7 @@ def main() -> None:
         "q_keep_drop_join (full pipeline, distributed model)": em.q_keep_drop_join(spark, sf),
         "q_dedup_passages (window-partition + reassemble, r5)": em.q_dedup_passages(spark, sf),
         "q_contamination (one-shuffle stream-static shape, r5)": em.q_contamination(spark, sf),
+        "q_corpus_curation (composed curation DAG, r5)": em.q_corpus_curation(spark, sf),
     }
 
     lines = [
