@@ -1357,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_contamination_stream": q_contamination_stream,
         "q_corpus_curation": q_corpus_curation,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_similarity_ivf_pq": q_similarity_ivf_pq,
         "q_score_captions": q_score_captions,
         "q_score_captions_binary": q_score_captions_binary,
         "q_score_captions_trie": q_score_captions_trie,
@@ -1397,8 +1399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_similarity_topk": q_similarity_topk,
         "q_similarity_lsh": q_similarity_lsh,
-        "q_similarity_ivf": q_similarity_ivf,
-        "q_similarity_ivf_pq": q_similarity_ivf_pq,
         "q_dedup_embedding": q_dedup_embedding,
         "q_lang_agreement": q_lang_agreement,
         "q_langid_nb": q_langid_nb,
