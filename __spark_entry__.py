@@ -1367,7 +1367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_score_fragments": q_score_fragments,
         "q_score_stupid_backoff": q_score_stupid_backoff,
         "q_corpus_ppl": q_corpus_ppl,
-        "q_events_sessions": q_events_sessions,
         "q_events_user_rank": q_events_user_rank,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
@@ -1391,8 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_stats_stream": q_events_user_stats_stream,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_components": q_dedup_components,
-        "q_sample_stratified": q_sample_stratified,
         "q_dedup_canonical": q_dedup_canonical,
+        "q_sample_stratified": q_sample_stratified,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1407,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_counts": q_filter_counts,
         "q_filter_phrase": q_filter_phrase,
         "q_filter_vocab_union": q_filter_vocab_union,
+        "q_events_sessions": q_events_sessions,
     }
 
 
