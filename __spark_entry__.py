@@ -1168,9 +1168,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    cont = contamination_check(docs, bench, shingle_k=5).select(
-        "doc_id", "contaminated"
-    )
+    # broadcast=True: the benchmark side is the tiny eval set by
+    # construction; skipping the size-guard count keeps the whole
+    # composition ONE lazy DAG (no pre-job).
+    cont = contamination_check(
+        docs, bench, shingle_k=5, broadcast=True
+    ).select("doc_id", "contaminated")
     bucket = F.pmod(
         h60(F.concat(F.lit("curate:"), F.col("doc_id").cast("string"))),
         F.lit(1_000_000),

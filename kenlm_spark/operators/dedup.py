@@ -552,15 +552,32 @@ def passage_dedup(
     surviving passages reassemble per document.
 
     Returns (doc_id, clean_text, n_passages, n_dropped).  Two shuffles
-    at any scale: one hash-partition by passage for the first-occurrence
-    window, one groupBy doc for reassembly — no similarity joins, no
-    candidate blowup; the passage strings themselves never leave the
-    executors twice (the window carries (doc, idx) only).  The final
-    left join re-scans the corpus for zero-token docs, but column-pruned
-    to the single id column (audited: ReadSchema struct<doc_id:bigint>)
-    — deliberately chosen over routing empty docs through the passage
-    window, which would funnel every empty doc into one ''-partition
-    (a skew hot spot at web scale, where empty docs are billions).
+    at any scale, both skew-safe:
+
+    1. first occurrence = ``groupBy(h60(p)).agg(min(struct(id, i, p)))``
+       — the shuffle key is an int64 hash (never the raw 10-token
+       string), and min() is an algebraic aggregate with PARTIAL
+       (map-side) combine, so a viral boilerplate passage (cookie
+       banners, license headers: billions of copies in a real crawl)
+       collapses to one row per map task before the exchange.  (id, i)
+       is unique across passage rows, so min(struct(id, i, p)) is
+       exactly the (doc_id, index)-ordered first occurrence carrying
+       its own text; collisions of the 60-bit hash merge the colliding
+       passages on both engines identically (the SQL twin partitions by
+       the same hash).  A Window over the raw passage string — the
+       previous formulation — had neither property: string shuffle
+       payload and no partial aggregation, i.e. a hot passage funneled
+       every occurrence to one reducer.
+    2. survivor reassembly = ``groupBy(doc)`` over first occurrences
+       only (bounded per doc).
+
+    n_passages needs NO shuffle at all: non-overlapping windows over a
+    non-empty token array are all non-empty, so the per-doc passage
+    count is ceil(n_tokens / window), computed map-side on the corpus
+    scan; n_dropped = n_passages - survivors.  The final left join
+    attaches survivors to that map-only spine, covering zero-token docs
+    without routing empty passages through the hash exchange (a skew
+    hot spot at web scale, where empty docs are billions).
     """
     toks = F.array_remove(F.split(norm_text(text_col), " "), "")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
@@ -581,37 +598,44 @@ def passage_dedup(
         .filter(F.col("p") != "")
         .select("id", "i", "p")
     )
-    w = Window.partitionBy("p").orderBy("id", "i")
-    kept = passages.withColumn("rn", F.row_number().over(w))
-    per_doc = (
-        kept.groupBy("id")
+    first = (
+        passages.withColumn("ph", h60(F.col("p")))
+        .groupBy("ph")
+        .agg(F.min(F.struct("id", "i", "p")).alias("fo"))
+        .select(
+            F.col("fo.id").alias("id"),
+            F.col("fo.i").alias("i"),
+            F.col("fo.p").alias("p"),
+        )
+    )
+    kept_per_doc = (
+        first.groupBy("id")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rn") == 1,
-                                F.struct("i", "p"),
-                            )
-                        )
-                    ),
+                    F.array_sort(F.collect_list(F.struct("i", "p"))),
                     lambda st: st["p"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count("*").cast("long").alias("n_passages"),
-            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+            F.count("*").cast("long").alias("n_kept"),
         )
     )
+    spine = base.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.size("toks") > 0, n_pass.cast("long"))
+        .otherwise(F.lit(0))
+        .alias("n_passages"),
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        spine.join(kept_per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            "n_passages",
+            (
+                F.col("n_passages") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
         )
     )
 
@@ -639,8 +663,10 @@ passages AS (
        )) AS t(i)
 ),
 ranked AS (
+  -- first occurrence is resolved per 60-bit passage HASH (mirrors the
+  -- Spark side's skew-safe groupBy(h60(p)) exchange, collisions and all)
   SELECT id, i, p,
-         row_number() OVER (PARTITION BY p ORDER BY id, i) AS rn
+         row_number() OVER (PARTITION BY {_h60_sql('p')} ORDER BY id, i) AS rn
   FROM passages WHERE p <> ''
 ),
 per_doc AS (
@@ -665,6 +691,8 @@ def contamination_check(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+    broadcast: bool | None = None,
+    max_broadcast_hashes: int = 2_000_000,
 ) -> DataFrame:
     """Benchmark-contamination flagging: for every corpus document, the
     number of DISTINCT ``shingle_k``-gram shingles it shares with the
@@ -672,26 +700,61 @@ def contamination_check(
     appendix C / The Pile).  Returns (doc_id, n_overlap, contaminated).
 
     Shape at scale: both sides reduce to distinct 64-bit shingle hashes
-    before the equi-join — the benchmark side (eval sets are small
-    relative to a training corpus) aggregates to a distinct-hash set
-    that AQE broadcasts; the corpus side is one explode + one join +
+    before the equi-join; the corpus side is one explode + one join +
     one groupBy, no crossJoin anywhere.
+
+    Broadcast guard: eval sets are small relative to a training corpus,
+    so the benchmark hash set normally broadcasts — but a user pointing
+    this at a billion-row "benchmark" must not hit a silent sort-merge
+    cliff.  With ``broadcast=None`` (default) the distinct-hash set is
+    counted first (one cheap job over the small side): at or below
+    ``max_broadcast_hashes`` (2M hashes ~ 48 MB of broadcast relation)
+    it is broadcast-hinted; above, a warning documents the fallback to
+    a shuffle join (correct, adds one corpus-side exchange on gh).
+    Pass ``broadcast=True/False`` to skip the count job — True keeps a
+    composed caller (e.g. the curation DAG) fully lazy.
     """
     def grams(d: DataFrame):
+        # Hash INSIDE the array, then array_distinct: per-doc distinct
+        # 60-bit hashes by construction, map-only and stream-legal.
+        # (Deduping post-explode would need a stateful dropDuplicates
+        # on a stream; deduping pre-hash — shingles_expr is already
+        # distinct — leaves a within-doc h60 collision producing a
+        # duplicate (id, gh) pair, which would double-count one hit
+        # and diverge from the SQL twin's count(DISTINCT gh).)
+        hashes = F.array_distinct(
+            F.transform(
+                shingles_expr(text_col, shingle_k), lambda g: h60(g)
+            )
+        )
         return d.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_expr(text_col, shingle_k)).alias("g"),
-        ).select("id", h60(F.col("g")).alias("gh"))
+            F.col(id_col).alias("id"), F.explode(hashes).alias("gh")
+        )
 
     bench_g = grams(benchmark).select("gh").distinct()
+    if broadcast is None:
+        n_hashes = bench_g.count()
+        broadcast = n_hashes <= max_broadcast_hashes
+        if not broadcast:
+            import warnings
+
+            warnings.warn(
+                f"contamination_check: benchmark side has {n_hashes:,} "
+                f"distinct shingle hashes (> {max_broadcast_hashes:,}); "
+                "falling back to a shuffle join (one extra corpus-side "
+                "exchange on gh). Raise max_broadcast_hashes only if "
+                "executors can hold the broadcast relation.",
+                stacklevel=2,
+            )
+    if broadcast:
+        bench_g = F.broadcast(bench_g)
     # One LEFT join + ONE aggregation: every doc emits >=1 shingle
     # (shingles_expr yields [""] for empty text), so grouping the
     # left-joined gram stream by id covers zero-overlap docs without
     # joining back to the corpus — one fewer shuffle, and the shape
-    # stays legal on a STREAMING corpus side (no distinct agg — (id,
-    # gh) pairs are already unique since shingles_expr emits DISTINCT
-    # shingles per doc and the benchmark side is distinct on gh — and
-    # no stream-stream join).
+    # stays legal on a STREAMING corpus side ((id, gh) pairs are
+    # distinct by construction above, so plain sum == count distinct,
+    # and no stream-stream join).
     marked = grams(corpus).join(
         bench_g.withColumn("_hit", F.lit(1)), "gh", "left"
     )
@@ -736,8 +799,8 @@ hits AS (
 SELECT c.{id_col} AS doc_id,
        coalesce(h.n_overlap, 0) AS n_overlap,
        coalesce(h.n_overlap, 0) > 0 AS contaminated
-FROM {table} c LEFT JOIN hits h ON h.id = c.{id_col}
-WHERE {corpus_where.replace(id_col, 'c.' + id_col)}
+FROM (SELECT * FROM {table} WHERE {corpus_where}) c
+LEFT JOIN hits h ON h.id = c.{id_col}
 """
 
 

@@ -327,6 +327,7 @@ def ivf_pq_topk(
     n_probe: int = 2,
     m: int = 8,
     n_codes: int = 16,
+    sample_frac: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -345,7 +346,9 @@ def ivf_pq_topk(
 
     spark = emb.sparkSession
     cent = train_centroids(emb, k=n_cells, id_col=id_col, vec_col=vec_col)
-    books = _pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    books = _pq_codebooks(
+        emb, m, n_codes, id_col, vec_col, sample_frac=sample_frac
+    )
     sub = books.shape[2]
     bc_cent = spark.sparkContext.broadcast(cent)
     bc_books = spark.sparkContext.broadcast(books)
@@ -446,6 +449,7 @@ def ivf_pq_topk_sql(
     n_codes: int = 16,
     iters: int = 5,
     sample: int = 4096,
+    sample_frac: float = 0.5,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -480,7 +484,8 @@ cb AS (
   SELECT j.j, row_number() OVER (PARTITION BY j.j ORDER BY b.nid) - 1 AS code,
          b.v AS c
   FROM (SELECT nid, v FROM base
-        WHERE {_sample_where_sql('nid', 0.5)}
+        {f"WHERE {_sample_where_sql('nid', sample_frac)}"
+         if sample_frac is not None and sample_frac < 1.0 else ""}
         ORDER BY nid LIMIT {n_codes}) b
   CROSS JOIN (SELECT unnest(generate_series(1, {m})) AS j) j
 ),

@@ -603,7 +603,12 @@ def pipeline_f1_vs_reference(kenlm) -> tuple[float, int]:
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    # BENCH/DIFFREF.md is the committed flagship evidence file (the 81k-check
+    # closing run); a default invocation must not silently downgrade it to a
+    # smaller gating run. Write to a scratch path unless --publish is passed.
+    publish = "--publish" in sys.argv
+    argv = [a for a in sys.argv if a != "--publish"]
+    n = int(argv[1]) if len(argv) > 1 else 3000
     kenlm = ensure_reference_module()
 
     import numpy as np
@@ -731,8 +736,12 @@ def main() -> int:
         print(f"F1 {f1} below target", file=sys.stderr)
         return 1
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/DIFFREF.md", "w") as fh:
+    out_path = "BENCH/DIFFREF.md" if publish else "/tmp/DIFFREF_scratch.md"
+    with open(out_path, "w") as fh:
         fh.write("\n".join(md) + "\n")
+    if not publish:
+        print(f"(scratch run — report at {out_path}; pass --publish to "
+              "overwrite the committed BENCH/DIFFREF.md)")
     print("\n".join(md))
     return 0
 

@@ -827,3 +827,55 @@ def test_contamination_matches_bruteforce(spark):
     for did, text in corpus_rows:
         n = len(sh(text) & bench_set)
         assert got[did] == (n, n > 0), (did, got[did], n)
+
+
+def test_contamination_broadcast_guard_both_paths(spark):
+    """The broadcast-size guard (dedup.contamination_check): a benchmark
+    hash set over max_broadcast_hashes warns and falls back to the
+    shuffle join; under it, it broadcast-hints. Both paths — and the
+    explicit broadcast=True/False overrides — produce identical rows,
+    and the fallback path stays correct even with AQE's own broadcast
+    disabled (a true sort-merge/shuffled-hash plan)."""
+    import warnings
+
+    from kenlm_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    expected = rows(contamination_check(corpus, bench, broadcast=True))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        guarded = contamination_check(
+            corpus, bench, max_broadcast_hashes=0
+        )
+        got_fallback = rows(guarded)
+    assert any("falling back to a shuffle join" in str(w.message) for w in caught)
+    assert got_fallback == expected
+
+    # small side under the threshold: no warning, broadcast hint taken
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got_bcast = rows(contamination_check(corpus, bench))
+    assert not any(
+        "falling back to a shuffle join" in str(w.message) for w in caught
+    )
+    assert got_bcast == expected
+
+    # force a genuine non-broadcast physical plan for the fallback leg
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert rows(contamination_check(corpus, bench, broadcast=False)) == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
