@@ -194,7 +194,25 @@ class NGramModel:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_ptables"] = {}
+        state.pop("_native_scorer", None)  # ctypes handles aren't picklable
         return state
+
+    def _native(self):
+        """Per-process compiled scorer (native_kernel.NativeScorer), or
+        None when unavailable (no compiler / KENLM_SPARK_NATIVE=0 /
+        non-canonical payload dtypes) — the numpy sweep then runs.
+        Never pickled; each executor process compiles (cached .so) and
+        wires pointers once per model."""
+        ns = self.__dict__.get("_native_scorer", False)
+        if ns is False:
+            try:
+                from kenlm_spark.ngram.native_kernel import NativeScorer
+
+                ns = NativeScorer(self)
+            except Exception:
+                ns = None
+            self._native_scorer = ns
+        return ns
 
     def _ptable(self, n: int):
         if n not in self._ptables:
@@ -567,6 +585,27 @@ class NGramModel:
         # keys_n[t]: uint64 key of the n-gram ending at t (valid if enough
         # sentence-local history exists: pos_in_sent[t] >= n-1).
         flat_u = flat.astype(np.uint64)
+        nk = self._native()
+        if nk is not None:
+            # compiled hot loop (native_kernel.py): probes + longest-match
+            # + backoff charges in one GIL-free pass, bit-identical to the
+            # numpy sweep below (raw-bits A/B in tests/test_native_kernel.py)
+            if not return_tokens:
+                # totals-only callers (the Spark scorer UDFs, benchmark_cli)
+                # fold the per-sentence reduction into the same pass —
+                # no T-sized outputs, no bincount epilogue
+                sent_scores, sent_oov = nk.score_reduce(
+                    flat_u, pos_in_sent, sent_idx, n_sent, bos,
+                    stupid_backoff, LOG10_STUPID_ALPHA,
+                )
+                return sent_scores, sent_oov, lens + (1 if eos else 0)
+            token_prob, k = nk.score(
+                flat_u, pos_in_sent, stupid_backoff, LOG10_STUPID_ALPHA
+            )
+            return self._score_batch_tail(
+                token_prob, k, flat, pos_in_sent, sent_idx,
+                lens, n_sent, bos, eos, return_tokens,
+            )
         found = np.zeros((N + 1, T), dtype=bool)
         bo_at = np.zeros((N + 1, T), dtype=np.float64)
 
@@ -641,6 +680,18 @@ class NGramModel:
             charge[pos_in_sent == 0] = 0.0
             token_prob = token_prob + charge
 
+        return self._score_batch_tail(
+            token_prob, k, flat, pos_in_sent, sent_idx,
+            lens, n_sent, bos, eos, return_tokens,
+        )
+
+    def _score_batch_tail(
+        self, token_prob, k, flat, pos_in_sent, sent_idx,
+        lens, n_sent, bos, eos, return_tokens,
+    ):
+        """Shared epilogue of :meth:`score_batch` (numpy and native
+        paths): mask the leading BOS, reduce per sentence."""
+        T = len(flat)
         # Score every position except a leading BOS.
         scored = pos_in_sent > 0 if bos else np.ones(T, dtype=bool)
         contrib = np.where(scored, token_prob, 0.0)

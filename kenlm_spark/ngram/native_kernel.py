@@ -1,0 +1,217 @@
+"""On-demand compiled scorer kernel (ctypes around score_kernel.c).
+
+The numpy ``score_batch`` sweep is memory-bandwidth-bound: every
+per-order pass streams full-batch temporaries through the cache, which
+costs a measured 3.5-4x single-thread floor against the reference's
+cache-resident C++ (BENCH/BASELINE.md, kenlm_benchmark protocol).  The
+C kernel walks each position once, keeping the hash recurrence, probe
+chain and backoff charge in registers/L1 — the same access pattern as
+the reference's query loop — and releases the GIL for the whole call,
+so all 32 local executor threads score concurrently.
+
+Strictly optional: compiled lazily per process with whatever ``cc`` is
+on PATH, cached in /tmp keyed by source hash; any failure (no compiler,
+sandboxed /tmp, exotic payload dtypes) silently falls back to the numpy
+path, which remains the portable reference implementation.  Both paths
+are pinned bit-identical by tests/test_model_golden.py's raw-bits A/B
+and the live differential suite vs the compiled reference binding.
+
+Set KENLM_SPARK_NATIVE=0 to disable (used by the A/B tests themselves).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "score_kernel.c")
+_MAX_ORDER = 16
+
+_lib = None
+_lib_tried = False
+
+
+def _compile() -> ctypes.CDLL | None:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("KENLM_SPARK_NATIVE", "1") == "0":
+        return None
+    try:
+        with open(_SRC, "rb") as fh:
+            src = fh.read()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        cache = os.path.join(tempfile.gettempdir(), "kenlm_spark_native")
+        os.makedirs(cache, exist_ok=True)
+        so = os.path.join(cache, f"score_kernel_{tag}.so")
+        if not os.path.exists(so):
+            tmp = so + f".{os.getpid()}.tmp"
+            for cc in ("cc", "gcc", "clang", "g++"):
+                try:
+                    r = subprocess.run(
+                        [cc, "-O3", "-fPIC", "-shared", "-o", tmp, _SRC],
+                        capture_output=True,
+                        timeout=120,
+                    )
+                except (OSError, subprocess.TimeoutExpired):
+                    continue
+                if r.returncode == 0:
+                    os.replace(tmp, so)  # atomic vs concurrent builders
+                    break
+            else:
+                return None
+        lib = ctypes.CDLL(so)
+        lib.score_stream.restype = None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+class NativeScorer:
+    """Per-process prepared ctypes view of one model's tables.
+
+    Holds references to the model's numpy arrays (and per-order float64->
+    float32 nothing — payloads must already be float32/uint64; anything
+    else refuses so the numpy path keeps exact semantics).
+    """
+
+    def __init__(self, model) -> None:
+        lib = _compile()
+        if lib is None:
+            raise RuntimeError("native kernel unavailable")
+        N = model.order
+        if not (1 <= N < _MAX_ORDER):
+            raise RuntimeError(f"order {N} out of kernel range")
+        if model.uni_prob.dtype != np.float32 or (
+            model.uni_backoff.dtype != np.float32
+        ):
+            raise RuntimeError("non-float32 unigram payloads")
+        self._lib = lib
+        self._N = N
+        self._refs = []  # keep arrays alive for the pointer lifetime
+
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+
+        def as_ptr(arr, ctype):
+            a = np.ascontiguousarray(arr)
+            self._refs.append(a)
+            return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+        self._uni_prob = as_ptr(model.uni_prob, ctypes.c_float)
+        self._uni_backoff = as_ptr(model.uni_backoff, ctypes.c_float)
+        self._keys = (u64p * _MAX_ORDER)()
+        self._nkeys = (ctypes.c_int64 * _MAX_ORDER)()
+        self._tkeys = (u64p * _MAX_ORDER)()
+        self._tidx = (i64p * _MAX_ORDER)()
+        self._masks = (ctypes.c_uint64 * _MAX_ORDER)()
+        self._probs = (f32p * _MAX_ORDER)()
+        self._backoffs = (f32p * _MAX_ORDER)()
+        for n in range(2, N + 1):
+            ks = model.keys[n]
+            ps = model.probs[n]
+            if ks.dtype != np.uint64 or ps.dtype != np.float32:
+                raise RuntimeError("non-canonical per-order dtypes")
+            self._keys[n] = as_ptr(ks, ctypes.c_uint64)
+            self._nkeys[n] = len(ks)
+            self._probs[n] = as_ptr(ps, ctypes.c_float)
+            if n < N:
+                bo = model.backoffs[n]
+                if bo.dtype != np.float32:
+                    raise RuntimeError("non-canonical backoff dtype")
+                self._backoffs[n] = as_ptr(bo, ctypes.c_float)
+            table = model._ptable(n)
+            if table is not None:
+                tkeys, tidx, mask = table
+                self._tkeys[n] = as_ptr(tkeys, ctypes.c_uint64)
+                self._tidx[n] = as_ptr(tidx, ctypes.c_int64)
+                self._masks[n] = int(mask)
+
+    def _call(
+        self, flat, pos_in_sent, stupid_backoff, log10_alpha,
+        sent_idx=None, n_sent=0, bos=True, want_tokens=True,
+    ):
+        T = len(flat)
+        flat_u = np.ascontiguousarray(flat, dtype=np.uint64)
+        pos = np.ascontiguousarray(pos_in_sent, dtype=np.int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        token_prob = k = sent_scores = sent_oov = None
+        if want_tokens:
+            token_prob = np.empty(T, dtype=np.float64)
+            k = np.empty(T, dtype=np.int64)
+        if sent_idx is not None:
+            sent_scores = np.zeros(n_sent, dtype=np.float64)
+            sent_oov = np.zeros(n_sent, dtype=np.int64)
+            si = np.ascontiguousarray(sent_idx, dtype=np.int64)
+        self._lib.score_stream(
+            flat_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pos.ctypes.data_as(i64p),
+            ctypes.c_int64(T),
+            ctypes.c_int32(self._N),
+            self._uni_prob,
+            self._uni_backoff,
+            self._keys,
+            self._nkeys,
+            self._tkeys,
+            self._tidx,
+            self._masks,
+            self._probs,
+            self._backoffs,
+            ctypes.c_int32(1 if stupid_backoff else 0),
+            ctypes.c_double(log10_alpha),
+            si.ctypes.data_as(i64p) if sent_idx is not None
+            else ctypes.cast(None, i64p),
+            ctypes.c_int32(1 if bos else 0),
+            sent_scores.ctypes.data_as(f64p) if sent_scores is not None
+            else ctypes.cast(None, f64p),
+            sent_oov.ctypes.data_as(i64p) if sent_oov is not None
+            else ctypes.cast(None, i64p),
+            token_prob.ctypes.data_as(f64p) if token_prob is not None
+            else ctypes.cast(None, f64p),
+            k.ctypes.data_as(i64p) if k is not None
+            else ctypes.cast(None, i64p),
+        )
+        return token_prob, k, sent_scores, sent_oov
+
+    def score(
+        self,
+        flat: np.ndarray,
+        pos_in_sent: np.ndarray,
+        stupid_backoff: bool,
+        log10_alpha: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(token_prob float64, k int64) over the flat token stream —
+        bit-identical to the numpy per-order sweep."""
+        tp, k, _, _ = self._call(
+            flat, pos_in_sent, stupid_backoff, log10_alpha
+        )
+        return tp, k
+
+    def score_reduce(
+        self,
+        flat: np.ndarray,
+        pos_in_sent: np.ndarray,
+        sent_idx: np.ndarray,
+        n_sent: int,
+        bos: bool,
+        stupid_backoff: bool,
+        log10_alpha: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(sent_scores float64, sent_oov int64): the whole per-token
+        pass PLUS the per-sentence reduction in one GIL-free sweep —
+        bit-identical to the numpy path's np.bincount epilogue (same
+        position-order double adds)."""
+        _, _, ss, so = self._call(
+            flat, pos_in_sent, stupid_backoff, log10_alpha,
+            sent_idx=sent_idx, n_sent=n_sent, bos=bos, want_tokens=False,
+        )
+        return ss, so

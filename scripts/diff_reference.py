@@ -427,18 +427,14 @@ def fuzz_binary_loader(kenlm, n_models: int, n_sents: int) -> tuple[int, float]:
     return checked, worst
 
 
-def big_model_probing_leg(kenlm, n_sents: int = 4000) -> tuple[int, float]:
-    """Differential check of score_batch's PROBING fast path (r5): a
-    random model with >16,384 bigrams — past _PROBING_MIN_KEYS, so the
-    order-2 lookups go through the open-addressing index — scored
-    against the compiled reference on random sentences. The toy
-    fixtures never cross the threshold; this leg is what pins the fast
-    path at a size where it actually engages."""
-    import numpy as np
-
-    rng = random.Random(977)
+def write_big_random_arpa(path: str, seed: int = 977) -> list[str]:
+    """Random order-3 model with >16,384 bigrams — past
+    _PROBING_MIN_KEYS, so order-2 lookups engage the open-addressing
+    index. Returns the vocab. Shared by the differential leg below and
+    tests/test_native_kernel.py's raw-bits A/B (the toy fixtures never
+    cross the threshold)."""
+    rng = random.Random(seed)
     vocab = [f"v{i}" for i in range(300)]
-    path = "/tmp/diffref_big.arpa"
     nxt = vocab + ["</s>"]
     ctx = ["<s>"] + vocab
     bi = set()
@@ -488,6 +484,20 @@ def big_model_probing_leg(kenlm, n_sents: int = 4000) -> tuple[int, float]:
         for a, b, c in tris:
             fh.write(f"{p()}\t{a} {b} {c}\n")
         fh.write("\n\\end\\\n")
+    return vocab
+
+
+def big_model_probing_leg(kenlm, n_sents: int = 4000) -> tuple[int, float]:
+    """Differential check of score_batch's PROBING fast path (r5) — and,
+    since r6, of the compiled native kernel when it builds (the default):
+    a random model with >16,384 bigrams scored against the compiled
+    reference on random sentences, at a size where the fast paths
+    actually engage."""
+    import numpy as np
+
+    rng = random.Random(977)
+    path = "/tmp/diffref_big.arpa"
+    vocab = write_big_random_arpa(path, seed=977)
 
     from kenlm_spark.ngram.arpa import load_arpa
     from kenlm_spark.ngram.model import _PROBING_MIN_KEYS

@@ -412,9 +412,12 @@ def test_probing_fast_path_bit_identical_to_searchsorted():
         )
         for _ in range(300)
     ]
-    # force-build tables below the size threshold so the fast path runs
+    # force-build tables below the size threshold so the fast path runs;
+    # pin the NUMPY path (the compiled kernel has its own A/B suite in
+    # test_native_kernel.py — here we compare probing vs searchsorted)
     from kenlm_spark.ngram.model import _build_probing_table
 
+    m._native_scorer = None
     m._ptables = {
         n: _build_probing_table(m.keys[n]) for n in range(2, m.order + 1)
     }
