@@ -1159,14 +1159,6 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = exact_duplicates(docs).select(
         F.col("text_hash").alias("_th"), "keep_id"
     )
-    canon = (
-        docs.select("doc_id", h60(norm_text("text")).alias("_th"))
-        .join(dups, "_th")
-        .select(
-            "doc_id",
-            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
-        )
-    )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     # broadcast=True: the benchmark side is the tiny eval set by
     # construction; skipping the size-guard count keeps the whole
@@ -1174,15 +1166,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = contamination_check(
         docs, bench, shingle_k=5, broadcast=True
     ).select("doc_id", "contaminated")
+    # r6 restructure (exchange-reuse audit, BENCH/PLANS.md): cheap stages
+    # are COLUMNS over one spine, not self-joins.  The deterministic
+    # sample bit is pure map-side arithmetic — computing it on the spine
+    # deletes a whole corpus scan + exchange + join; the dedup hash _th
+    # is likewise computed on the spine so the canonical join keys off it
+    # directly.  The remaining joins chain doc_id-partitioned sides (cont
+    # aggregates BY doc id, kd is map-only), so in the no-broadcast
+    # regime the spine is exchanged once per distinct key (_th, doc_id)
+    # and the doc_id partitioning carries through the join chain instead
+    # of re-shuffling per stage.
     bucket = F.pmod(
         h60(F.concat(F.lit("curate:"), F.col("doc_id").cast("string"))),
         F.lit(1_000_000),
     )
-    sampled = docs.select("doc_id", (bucket < 500_000).alias("in_sample"))
+    spine = docs.select(
+        "doc_id",
+        h60(norm_text("text")).alias("_th"),
+        (bucket < 500_000).alias("in_sample"),
+    )
     return (
-        canon.join(cont, "doc_id")
+        spine.join(dups, "_th")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+            "in_sample",
+        )
+        .join(cont, "doc_id")
         .join(kd, "doc_id")
-        .join(sampled, "doc_id")
         .select(
             "doc_id",
             "is_canonical",
@@ -1339,61 +1350,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver samples 50 queries per round from the
-    # front of this dict.  The 12 queries below were last recorded in
-    # r02/r03 (unchanged code, hash-green then); they lead the dict this
-    # round so r04 ∪ r05 covers every query with a fresh driver row.
+    # Ordering note: the external driver samples the FIRST 50 entries of
+    # this dict per round.  Rotation policy (documented per round in
+    # BENCH/SAMPLED_WINDOWS.md so cross-round totals stay comparable):
+    # every query whose code changed this round MUST sit inside the
+    # window; queries outside the window must be unchanged AND hash-green
+    # in the previous round's driver record; unsampled-last-round queries
+    # rotate back in.  r6 window = the 16 queries r5 did not sample
+    # (all green in r4 + re-verified locally) + the 16 r6-touched queries
+    # (passage/contamination/curation/IVF-PQ rewrites and every
+    # scorer-path query, which now runs the compiled kernel) + 18 more;
+    # the 16 rotated out are untouched and r5-hash-green.
     return {
-        "q_filter_vocab_multiple": q_filter_vocab_multiple,
-        "q_interpolate_models": q_interpolate_models,
-        "q_interpolate_tuned": q_interpolate_tuned,
-        "q_quantize_model": q_quantize_model,
-        "q_token_stats": q_token_stats,
-        "q_multimodal_meta": q_multimodal_meta,
-        "q_audio_features": q_audio_features,
-        "q_multimodal_frames": q_multimodal_frames,
-        "q_multimodal_phash": q_multimodal_phash,
-        "q_tpch_q1": q_tpch_q1,
-        "q_orders_customer_revenue": q_orders_customer_revenue,
-        "q_events_hourly": q_events_hourly,
-        "q_dedup_passages": q_dedup_passages,
-        "q_contamination": q_contamination,
-        "q_contamination_stream": q_contamination_stream,
-        "q_corpus_curation": q_corpus_curation,
-        "q_similarity_ivf": q_similarity_ivf,
-        "q_similarity_ivf_pq": q_similarity_ivf_pq,
-        "q_score_captions": q_score_captions,
-        "q_score_captions_binary": q_score_captions_binary,
-        "q_score_captions_trie": q_score_captions_trie,
-        "q_score_captions_trie_rt": q_score_captions_trie_rt,
-        "q_score_captions_join": q_score_captions_join,
-        "q_score_fragments": q_score_fragments,
-        "q_score_stupid_backoff": q_score_stupid_backoff,
-        "q_corpus_ppl": q_corpus_ppl,
-        "q_events_user_rank": q_events_user_rank,
-        "q_langid": q_langid,
-        "q_scrub": q_scrub,
-        "q_quality_metrics": q_quality_metrics,
-        "q_quality_filter": q_quality_filter,
-        "q_repetition_metrics": q_repetition_metrics,
-        "q_url_filter": q_url_filter,
-        "q_keep_drop": q_keep_drop,
-        "q_keep_drop_stream": q_keep_drop_stream,
-        "q_keep_drop_join": q_keep_drop_join,
-        "q_ngram_count_2": q_ngram_count_2,
-        "q_ngram_count_3": q_ngram_count_3,
-        "q_word_freq": q_word_freq,
-        "q_lm_windows_3": q_lm_windows_3,
-        "q_lm_adjusted_2": q_lm_adjusted_2,
-        "q_lm_adjusted_1": q_lm_adjusted_1,
-        "q_lm_model_3": q_lm_model_3,
-        "q_lm_model_pruned": q_lm_model_pruned,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_exact_stream": q_dedup_exact_stream,
-        "q_events_user_stats_stream": q_events_user_stats_stream,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_components": q_dedup_components,
-        "q_dedup_canonical": q_dedup_canonical,
+        # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1410,6 +1379,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_phrase": q_filter_phrase,
         "q_filter_vocab_union": q_filter_vocab_union,
         "q_events_sessions": q_events_sessions,
+        # --- r6-touched (16): dedup/contamination/curation/IVF-PQ +
+        # every query on the scorer path (compiled kernel)
+        "q_dedup_passages": q_dedup_passages,
+        "q_contamination": q_contamination,
+        "q_contamination_stream": q_contamination_stream,
+        "q_corpus_curation": q_corpus_curation,
+        "q_similarity_ivf_pq": q_similarity_ivf_pq,
+        "q_score_captions": q_score_captions,
+        "q_score_captions_binary": q_score_captions_binary,
+        "q_score_captions_trie": q_score_captions_trie,
+        "q_score_captions_trie_rt": q_score_captions_trie_rt,
+        "q_score_captions_join": q_score_captions_join,
+        "q_score_fragments": q_score_fragments,
+        "q_score_stupid_backoff": q_score_stupid_backoff,
+        "q_corpus_ppl": q_corpus_ppl,
+        "q_keep_drop": q_keep_drop,
+        "q_keep_drop_stream": q_keep_drop_stream,
+        "q_keep_drop_join": q_keep_drop_join,
+        # --- window fill (18)
+        "q_lm_model_3": q_lm_model_3,
+        "q_lm_model_pruned": q_lm_model_pruned,
+        "q_lm_adjusted_1": q_lm_adjusted_1,
+        "q_lm_adjusted_2": q_lm_adjusted_2,
+        "q_lm_windows_3": q_lm_windows_3,
+        "q_ngram_count_2": q_ngram_count_2,
+        "q_ngram_count_3": q_ngram_count_3,
+        "q_word_freq": q_word_freq,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_exact_stream": q_dedup_exact_stream,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_components": q_dedup_components,
+        "q_dedup_canonical": q_dedup_canonical,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_langid": q_langid,
+        "q_scrub": q_scrub,
+        "q_quality_metrics": q_quality_metrics,
+        "q_quality_filter": q_quality_filter,
+        # --- outside the 50-window: untouched this round, hash-green in
+        # the r5 driver record (CORRECTNESS_r05.json)
+        "q_filter_vocab_multiple": q_filter_vocab_multiple,
+        "q_interpolate_models": q_interpolate_models,
+        "q_interpolate_tuned": q_interpolate_tuned,
+        "q_quantize_model": q_quantize_model,
+        "q_token_stats": q_token_stats,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_audio_features": q_audio_features,
+        "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_phash": q_multimodal_phash,
+        "q_tpch_q1": q_tpch_q1,
+        "q_orders_customer_revenue": q_orders_customer_revenue,
+        "q_events_hourly": q_events_hourly,
+        "q_events_user_rank": q_events_user_rank,
+        "q_events_user_stats_stream": q_events_user_stats_stream,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_url_filter": q_url_filter,
     }
 
 

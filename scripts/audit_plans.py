@@ -61,9 +61,9 @@ def main() -> None:
         "q_dedup_embedding (bucketed LSH + verify)": em.q_dedup_embedding(spark, sf),
         "q_score_captions_join (no-broadcast scorer)": em.q_score_captions_join(spark, sf),
         "q_keep_drop_join (full pipeline, distributed model)": em.q_keep_drop_join(spark, sf),
-        "q_dedup_passages (window-partition + reassemble, r5)": em.q_dedup_passages(spark, sf),
+        "q_dedup_passages (skew-safe hash-groupBy first-occurrence, r6)": em.q_dedup_passages(spark, sf),
         "q_contamination (one-shuffle stream-static shape, r5)": em.q_contamination(spark, sf),
-        "q_corpus_curation (composed curation DAG, r5)": em.q_corpus_curation(spark, sf),
+        "q_corpus_curation (composed curation DAG, r5; spine restructure r6)": em.q_corpus_curation(spark, sf),
     }
 
     lines = [
@@ -123,6 +123,32 @@ def main() -> None:
     lines += [
         "## Notes",
         "",
+        "- **q_corpus_curation exchange-reuse audit (r6):** with broadcasts",
+        "  disabled (the 100-TB regime for the doc-keyed sides), the r5",
+        "  composition produced 13 exchanges / 4 SMJs / 6 corpus scans and",
+        "  ZERO ReusedExchange — Catalyst cannot reuse exchanges whose",
+        "  child projections differ, and each stage re-scanned the corpus.",
+        "  Restructured per the audit: the deterministic-sample bit and the",
+        "  dedup hash are now COLUMNS on one spine (map-side arithmetic —",
+        "  the separate `sampled` scan+exchange+join is deleted outright),",
+        "  and the remaining joins chain doc_id-aligned sides. Measured",
+        "  plan deltas at sf0.01: default AQE 9→8 exchanges, 5→4 joins,",
+        "  6→5 scans, still exactly 1 ArrowEvalPython and 0 SMJ;",
+        "  no-broadcast 13→11 exchanges, 4→3 SMJs. Hash-green at both SFs",
+        "  after the restructure (same oracle SQL).",
+        "- **q_dedup_passages first-occurrence pass (r6, closes the r5",
+        "  'What's wrong #1' skew flag):** the Window.partitionBy(raw",
+        "  passage string) + row_number formulation is replaced by",
+        "  groupBy(h60(passage)).agg(min(struct(id, i, p))) — the exchange",
+        "  key is an int64 hash and min() is algebraic, so the plan shows",
+        "  partial+final SortAggregate and a viral boilerplate passage",
+        "  collapses to one row per map task BEFORE the shuffle (a Window",
+        "  has no partial aggregation: every copy funneled to one reducer).",
+        "  n_passages is computed map-only from the token count (non-empty",
+        "  windows are all non-empty), deleting the all-rows reassembly",
+        "  leg; survivors-only flow into the doc-keyed agg. Planted",
+        "  hot-passage skew test: tests/test_operators.py",
+        "  test_passage_dedup_hot_passage_skew.",
         "- **q_quality_metrics r1→r2 'regression' root-caused (r3):** the",
         "  0.26s→0.55s delta in BENCH_r02 was bench-context jitter, not a",
         "  plan change. quality.py is untouched since r1; measured in",

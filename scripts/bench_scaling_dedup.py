@@ -21,10 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_scaling import REPO, make_pyfiles_zip  # noqa: E402
 
 
-def materialize_docs(replication: int, sf_dir: str) -> str:
-    path = f"/tmp/scaling_dedup_x{replication}"
+def materialize_docs(replication: int, sf_dir: str, quarter: bool = False) -> str:
+    """quarter=True keeps the workload SHAPE identical for the
+    weak-scaling row: one quarter of the base documents, each still
+    replicated x``replication`` — replica-group sizes (and therefore the
+    max_bucket guard's behavior and per-doc candidate profile) are
+    unchanged; only the group COUNT quarters."""
+    path = f"/tmp/scaling_dedup_x{replication}" + ("_q4" if quarter else "")
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    qfilter = ".filter(F.col('doc_id') % 4 == 0)" if quarter else ""
     code = f"""
 import sys
 sys.path.insert(0, {REPO!r})
@@ -32,7 +38,7 @@ from pyspark.sql import functions as F
 from kenlm_spark.session import get_spark
 spark = get_spark("gen", master="local[8]")
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet("{sf_dir}/documents.parquet").repartition(64)
+docs = spark.read.parquet("{sf_dir}/documents.parquet"){qfilter}.repartition(64)
 docs = docs.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit({replication}))))
 # perturb the tail so replicas are NEAR-duplicates (exercises verify),
 # not byte-identical
@@ -97,18 +103,29 @@ def main() -> None:
     zip_path = make_pyfiles_zip()
     input_path = materialize_docs(replication, sf_dir)
 
+    quarter_path = materialize_docs(replication, sf_dir, quarter=True)
+
     lo = run_one(n, 4, input_path, zip_path)
     hi = run_one(4 * n, 4, input_path, zip_path)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    # WEAK scaling: constant per-executor load — [N,4] on a
+    # structure-preserving quarter vs [4N,4] on the full corpus (the
+    # regime a 100-TB deployment grows in: more executors, more data,
+    # same per-executor slice). Ideal = equal walls.
+    lo_w = run_one(n, 4, quarter_path, zip_path)
+    weak_eff = lo_w["wall_sec"] / hi["wall_sec"]
     result = {
         "metric": "dedup_scaling_efficiency_Nx4N_executors",
         "value": round(eff, 3),
+        "weak_value": round(weak_eff, 3),
         "unit": "ratio",
         "low": lo,
         "high": hi,
+        "low_weak_quarter": lo_w,
         "sf": sf_dir,
         "target": 0.8,
         "pass": eff >= 0.8,
+        "weak_pass": weak_eff >= 0.8,
     }
     print(json.dumps(result))
 
@@ -127,9 +144,19 @@ generation linear):
 |---|---|---|---|---|
 | N | {n} x 4 | {lo['docs']} | {lo['wall_sec']} | {lo['docs_per_sec']} |
 | 4N | {4 * n} x 4 | {hi['docs']} | {hi['wall_sec']} | {hi['docs_per_sec']} |
+| N (weak: quarter corpus, same group sizes) | {n} x 4 | {lo_w['docs']} | {lo_w['wall_sec']} | {lo_w['docs_per_sec']} |
 
-**Dedup scaling efficiency (throughput ratio / 4): {eff:.3f}**
-(target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+**Strong-scaling efficiency (same input, throughput ratio / 4):
+{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+**Weak-scaling efficiency (constant per-executor load: [{n},4] on a
+structure-preserving quarter — one quarter of the replica GROUPS, group
+size unchanged so the max_bucket guard and per-doc candidate profile
+are identical — vs [{4 * n},4] on the full corpus; wall ratio
+{lo_w['wall_sec']} / {hi['wall_sec']}): {weak_eff:.3f}**
+(target >= 0.8: {"PASS" if weak_eff >= 0.8 else "FAIL"}) — the regime a
+100-TB deployment actually grows in, and the same framing the join
+path's 0.878 PASS uses.
 """
     # replace any previous auto-appended section of this exact title
     # instead of accumulating duplicates

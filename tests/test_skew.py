@@ -1,0 +1,182 @@
+"""Adversarial-skew tier (r6): the pipeline operators are oracle-green
+on uniform synthetic data, but real crawls are Zipfian — viral
+boilerplate passages, mega replica groups, one shingle shared by half
+the corpus, and billions of empty documents.  Each test PLANTS one such
+shape and asserts (a) the answers stay exactly right and (b) the skewed
+run completes within a bounded factor of a uniform same-size control
+(the wall-bound form of "no straggler task >> median": a hot key that
+funnels to one reducer would blow the ratio, not sit inside it).
+
+Wall ratios use a generous 4x bound — the shared box's throughput
+drifts, and these are smoke alarms for quadratic/straggler behavior,
+not benchmarks (a true hot-key funnel measures 10-100x, not 4x).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _wall(df) -> float:
+    t0 = time.perf_counter()
+    df.count()
+    return time.perf_counter() - t0
+
+
+HOT_PASSAGE = " ".join(f"cookie{i}" for i in range(10))  # 10-token window
+
+
+def test_passage_dedup_hot_passage_skew(spark):
+    """One viral passage in 100k of 120k docs (the cookie-banner shape).
+    The r6 groupBy(h60(p)) + min(struct) formulation partial-aggregates
+    the hot key map-side; the pre-r6 Window over the raw string funneled
+    all 100k copies to one reducer.  Correctness: only the first
+    occurrence keeps the passage; every doc keeps its unique tail."""
+    from kenlm_spark.operators.dedup import passage_dedup
+
+    n, n_hot = 120_000, 100_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_hot,
+            F.concat(F.lit(HOT_PASSAGE + " tail"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("uniq"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    skew_wall = _wall(passage_dedup(base, window=10))
+    uniform = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("only"), F.col("id").cast("string")).alias("text"),
+    )
+    uni_wall = _wall(passage_dedup(uniform, window=10))
+    assert skew_wall < max(4 * uni_wall, 10.0), (skew_wall, uni_wall)
+
+    out = passage_dedup(base, window=10)
+    rows = {
+        r["doc_id"]: r
+        for r in out.filter(
+            F.col("doc_id").isin(0, 1, 77, n_hot - 1, n_hot)
+        ).collect()
+    }
+    # doc 0 is the first occurrence: keeps passage + its tail
+    assert rows[0]["clean_text"] == HOT_PASSAGE.lower() + " tail0"
+    assert rows[0]["n_dropped"] == 0
+    # later hot docs lose the viral passage window, keep the tail word
+    for d in (1, 77, n_hot - 1):
+        assert rows[d]["clean_text"] == f"tail{d}", rows[d]
+        assert rows[d]["n_passages"] == 2 and rows[d]["n_dropped"] == 1
+    # non-hot docs untouched
+    assert rows[n_hot]["clean_text"] == f"uniq{n_hot}"
+    assert rows[n_hot]["n_dropped"] == 0
+
+
+def test_minhash_hot_bucket_beyond_guard(spark):
+    """A 30k-replica group (every minhash band collides) must be dropped
+    by the max_bucket guard BEFORE the pair agg — candidate generation
+    stays linear and planted small near-dup groups are still found."""
+    from kenlm_spark.operators.dedup import minhash_lsh_pairs
+
+    n_hot = 30_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+    )
+    # two genuine near-dup docs under the cap
+    pair = spark.createDataFrame(
+        [
+            (1_000_000, "red orange yellow green blue indigo violet pink"),
+            (1_000_001, "red orange yellow green blue indigo violet teal"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = hot.unionByName(pair)
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket=20
+    ).collect()
+    wall = time.perf_counter() - t0
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1_000_000, 1_000_001) in got
+    # no pair from the mega-group (guard dropped its buckets); without
+    # the guard this would be ~450M candidate pairs
+    assert all(a >= 1_000_000 for a, _ in got), got
+    assert wall < 60.0, wall
+
+
+def test_contamination_hot_shingle_half_corpus(spark):
+    """One benchmark 5-gram occurs in 50% of 100k corpus docs.  The
+    benchmark side is a broadcast hash set, so the hot gh never shuffles
+    — the probe is map-side; the per-doc agg keys on doc id (uniform)."""
+    from kenlm_spark.operators.dedup import contamination_check
+
+    n = 100_000
+    hot5 = "lorem ipsum dolor sit amet"
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit(hot5 + " pad"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("clean text body word"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(999_999_999, hot5)], "doc_id long, text string"
+    )
+    skew_wall = _wall(contamination_check(corpus, bench, broadcast=True))
+    clean = corpus.withColumn(
+        "text", F.concat(F.lit("x y z w v"), F.col("doc_id").cast("string"))
+    )
+    uni_wall = _wall(contamination_check(clean, bench, broadcast=True))
+    assert skew_wall < max(4 * uni_wall, 10.0), (skew_wall, uni_wall)
+
+    agg = (
+        contamination_check(corpus, bench, broadcast=True)
+        .groupBy("contaminated")
+        .count()
+        .collect()
+    )
+    counts = {r["contaminated"]: r["count"] for r in agg}
+    assert counts[True] == n // 2 and counts[False] == n // 2, counts
+
+
+def test_empty_text_storm(spark):
+    """100k empty/whitespace docs + 1k real ones.  Empty docs must never
+    reach the passage hash exchange (they are filtered before it and
+    rejoin via the map-only spine), and quality metrics / contamination
+    must emit a row per doc without a hot ''-key anywhere."""
+    from kenlm_spark.operators.dedup import contamination_check, passage_dedup
+    from kenlm_spark.filtering.quality import quality_metric_exprs
+
+    n_empty, n_real = 100_000, 1_000
+    docs = spark.range(n_empty + n_real).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_empty, F.lit("  \t "))
+        .otherwise(F.concat(F.lit("real content here"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    pd_rows = passage_dedup(docs, window=10)
+    n_rows = pd_rows.count()
+    empty_out = pd_rows.filter(F.col("doc_id") == 5).first()
+    wall = time.perf_counter() - t0
+    assert n_rows == n_empty + n_real
+    assert empty_out["clean_text"] == "" and empty_out["n_passages"] == 0
+    assert wall < 60.0, wall
+
+    qm = docs.select(
+        "doc_id", *[c.alias(k) for k, c in quality_metric_exprs("text").items()]
+    ).count()
+    assert qm == n_empty + n_real
+
+    bench = spark.createDataFrame(
+        [(1, "real content here999999")], "doc_id long, text string"
+    )
+    cont = contamination_check(docs, bench, broadcast=True)
+    assert cont.count() == n_empty + n_real
+    # empty docs emit the [""] sentinel shingle, which must not match
+    assert cont.filter(F.col("doc_id") == 7).first()["contaminated"] is False
