@@ -51,26 +51,36 @@ _FORK_STATE: dict = {}
 _BATCH_TOKENS = int(os.environ.get("KENLM_SPARK_BATCH_TOKENS", 1 << 19))
 
 
-def _score_sents(model, sents) -> float:
-    total, start, ntok = 0.0, 0, 0
-    for i, sent in enumerate(sents):
-        ntok += len(sent) + 2
-        if ntok >= _BATCH_TOKENS:
-            probs, _, _ = model.score_batch(
-                sents[start: i + 1], bos=True, eos=True
-            )
-            total += float(np.sum(probs))
-            start, ntok = i + 1, 0
-    if start < len(sents):
-        probs, _, _ = model.score_batch(sents[start:], bos=True, eos=True)
-        total += float(np.sum(probs))
+def _score_stream(model, ids: np.ndarray) -> float:
+    """Sum of sentence log10 probs over an EOS-delimited id stream.
+
+    The compiled kernel walks the stream sequentially, so one call over
+    the whole slice is optimal; the numpy fallback's per-order sweeps
+    fall out of cache on mega-batches (measured 1.9x), so without the
+    native kernel the stream is cut into sentence-aligned
+    ~_BATCH_TOKENS slices first."""
+    if model._native() is not None:
+        return model.score_id_stream_total(ids)
+    if len(ids) <= _BATCH_TOKENS:
+        s, _, _ = model.score_id_stream(ids)
+        return float(np.sum(s))
+    eos_pos = np.flatnonzero(ids == model.eos_id)
+    total, j = 0.0, 0
+    while j < len(ids):
+        cut = len(ids)
+        if j + _BATCH_TOKENS < len(ids):
+            nxt = int(np.searchsorted(eos_pos, j + _BATCH_TOKENS))
+            if nxt < len(eos_pos):
+                cut = int(eos_pos[nxt]) + 1
+        s, _, _ = model.score_id_stream(ids[j:cut])
+        total += float(np.sum(s))
+        j = cut
     return total
 
 
 def _score_chunk(idx: int) -> float:
-    model = _FORK_STATE["model"]
-    lo, hi = _FORK_STATE["bounds"][idx], _FORK_STATE["bounds"][idx + 1]
-    return _score_sents(model, _FORK_STATE["sents"][lo:hi])
+    lo, hi = _FORK_STATE["cuts"][idx], _FORK_STATE["cuts"][idx + 1]
+    return _score_stream(_FORK_STATE["model"], _FORK_STATE["ids"][lo:hi])
 
 
 def _width(bound: int) -> str:
@@ -100,39 +110,35 @@ def query_from_bytes(model, fin, fout, ferr, threads: int = 1) -> dict:
     data = fin.read()
     dt = np.dtype(_width(model.vocab_size))
     ids = np.frombuffer(data, dtype=dt).astype(np.int64)
-    eos = model.eos_id
-    # split the stream at EOS markers into sentences; EOS itself is a
-    # scored query (score_batch appends it back via eos=True)
-    eos_pos = np.flatnonzero(ids == eos)
-    sents = []
-    start = 0
-    for p in eos_pos:
-        sents.append(ids[start:p])
-        start = p + 1
     queries = int(len(ids))
-    tail = ids[start:]
-    n_workers = min(max(threads, 1), max(len(sents), 1))
+    # EOS markers delimit sentences and are themselves scored queries;
+    # the whole split/flat-build now happens INSIDE the timed region
+    # (vectorized in score_id_stream — the reference's -q likewise
+    # times everything after load), where the pre-r6 code excluded a
+    # per-sentence Python split loop from the timer.
+    eos_pos = np.flatnonzero(ids == model.eos_id)
+    n_workers = min(max(threads, 1), max(len(eos_pos), 1))
     t_os0 = os.times()
     t0_cpu, t0 = time.process_time(), time.perf_counter()
     if n_workers <= 1:
-        total = _score_sents(model, sents)
+        total = _score_stream(model, ids)
     else:
-        # -t path: fork pool over contiguous sentence ranges; the model
-        # arrays are inherited copy-on-write (one resident copy, like
-        # the reference's threads over one mmap) and each range returns
-        # only its probability sum
+        # -t path: fork pool over contiguous sentence-aligned stream
+        # ranges; the model arrays are inherited copy-on-write (one
+        # resident copy, like the reference's threads over one mmap)
+        # and each range returns only its probability sum
         import multiprocessing as mp
 
-        bounds = np.linspace(0, len(sents), n_workers + 1).astype(int)
-        _FORK_STATE.update(model=model, sents=sents, bounds=bounds)
+        bounds = np.linspace(0, len(eos_pos), n_workers + 1).astype(int)
+        cuts = [0] + [int(eos_pos[b - 1]) + 1 for b in bounds[1:-1]] + [
+            len(ids)
+        ]
+        _FORK_STATE.update(model=model, ids=ids, cuts=cuts)
         try:
             with mp.get_context("fork").Pool(n_workers) as pool:
                 total = float(sum(pool.map(_score_chunk, range(n_workers))))
         finally:
             _FORK_STATE.clear()
-    if len(tail):  # stream not EOS-terminated: score the fragment
-        p2, _, _ = model.score_batch([tail], bos=True, eos=False)
-        total += float(np.sum(p2))
     t_os1 = os.times()
     cpu = time.process_time() - t0_cpu
     if n_workers > 1:

@@ -711,6 +711,110 @@ class NGramModel:
             return sent_scores, sent_oov, n_scored, detail
         return sent_scores, sent_oov, n_scored
 
+    def score_id_stream(
+        self, ids: np.ndarray, stupid_backoff: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score a flat EOS-delimited id stream (the reference's
+        kenlm_benchmark -q layout, lm/kenlm_benchmark_main.cc): every
+        run of ids up to and including an ``eos_id`` marker is one
+        sentence scored with bos=True, eos=True.  A trailing fragment
+        without EOS is scored bos=True, eos=False.
+
+        Identical results to splitting the stream and calling
+        :meth:`score_batch` (regression-pinned raw-bits), but the flat
+        token array and per-position metadata are built with O(T)
+        vectorized scatters directly from the stream — no per-sentence
+        views, no list-of-arrays concatenate, no Python chunk loop —
+        which matters when sentences are short (captions average ~3
+        queries: the per-sentence Python bookkeeping used to cost more
+        than the compiled kernel itself).
+
+        Returns (sent_scores, sent_oov, n_scored) per sentence
+        (fragment last, if any).
+        """
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        eos = self.eos_id
+        is_eos = ids == eos
+        n_full = int(is_eos.sum())
+        n_ids = len(ids)
+        has_frag = n_full == 0 or (n_ids and not is_eos[-1])
+        if n_ids == 0:
+            z = np.zeros(0)
+            return z, z.astype(np.int64), z.astype(np.int64)
+        # sentence index per stream element; BOS slots are inserted,
+        # shifting element j right by (sentences before j) + 1
+        sent_of = np.zeros(n_ids, dtype=np.int64)
+        np.cumsum(is_eos[:-1], out=sent_of[1:])
+        target = np.arange(n_ids) + sent_of + 1
+        n_sent = n_full + (1 if has_frag else 0)
+        T = n_ids + n_sent
+        flat = np.empty(T, dtype=np.int64)
+        flat[target] = ids
+        starts = np.zeros(n_sent, dtype=np.int64)
+        # sentence i starts right after sentence i-1's last element
+        ends = target[np.flatnonzero(is_eos)]
+        starts[1:n_full + (1 if has_frag else 0)] = (ends + 1)[
+            : n_sent - 1
+        ]
+        flat[starts] = self.bos_id
+        pos_in_sent = np.arange(T) - starts[
+            np.repeat(np.arange(n_sent), np.diff(np.append(starts, T)))
+        ]
+        sent_idx = np.repeat(
+            np.arange(n_sent), np.diff(np.append(starts, T))
+        )
+        nk = self._native()
+        if nk is not None:
+            sent_scores, sent_oov = nk.score_reduce(
+                flat.astype(np.uint64), pos_in_sent, sent_idx, n_sent,
+                True, stupid_backoff, LOG10_STUPID_ALPHA,
+            )
+            n_scored = np.diff(np.append(starts, T)) - 1
+            return sent_scores, sent_oov, n_scored
+        # numpy fallback: split into per-sentence views (the legacy path)
+        bounds = np.flatnonzero(is_eos)
+        lists = []
+        prev = 0
+        for p in bounds:
+            lists.append(ids[prev:p])
+            prev = p + 1
+        s1 = o1 = n1 = None
+        if lists:
+            s1, o1, n1 = self.score_batch(lists, bos=True, eos=True,
+                                          stupid_backoff=stupid_backoff)
+        if has_frag:
+            s2, o2, n2 = self.score_batch([ids[prev:]], bos=True, eos=False,
+                                          stupid_backoff=stupid_backoff)
+            if lists:
+                return (np.concatenate([s1, s2]),
+                        np.concatenate([o1, o2]),
+                        np.concatenate([n1, n2]))
+            return s2, o2, n2
+        return s1, o1, n1
+
+    def score_id_stream_total(
+        self, ids: np.ndarray, stupid_backoff: bool = False
+    ) -> float:
+        """Total log10 prob of an EOS-delimited id stream — the
+        benchmark_cli hot path.  With the compiled kernel this is ONE C
+        call over the raw stream (virtual per-sentence BOS, zero
+        Python-side construction); otherwise it sums
+        :meth:`score_id_stream`.  The two differ only in float
+        summation GROUPING across sentences (sequential vs per-sentence
+        then np.sum), i.e. low-bit rounding on the grand total."""
+        nk = self._native()
+        if nk is not None:
+            total, _ = nk.score_eos_stream_total(
+                np.ascontiguousarray(ids, dtype=np.int64),
+                self.eos_id,
+                self.bos_id,
+                stupid_backoff,
+                LOG10_STUPID_ALPHA,
+            )
+            return total
+        s, _, _ = self.score_id_stream(ids, stupid_backoff=stupid_backoff)
+        return float(np.sum(s))
+
     def perplexity_batch(
         self, token_id_lists: list[np.ndarray], stupid_backoff: bool = False
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

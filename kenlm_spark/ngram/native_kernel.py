@@ -196,6 +196,46 @@ class NativeScorer:
         )
         return tp, k
 
+    def score_eos_stream_total(
+        self,
+        ids: np.ndarray,
+        eos_id: int,
+        bos_id: int,
+        stupid_backoff: bool,
+        log10_alpha: float,
+    ) -> tuple[float, int]:
+        """(total_log10, n_sent) over a raw EOS-delimited id stream —
+        the zero-construction benchmark path: no flat array, no
+        pos_in_sent, no sentence splits; the C walk uses a virtual BOS
+        per sentence.  Per-position math is bit-identical to the other
+        paths; the TOTAL is a single sequential sum over all scored
+        positions (documented: np.sum over per-sentence scores groups
+        differently in the low bits)."""
+        ids_u = np.ascontiguousarray(ids, dtype=np.uint64)
+        total = ctypes.c_double(0.0)
+        lib = self._lib
+        lib.score_eos_stream.restype = ctypes.c_int64
+        n_sent = lib.score_eos_stream(
+            ids_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(len(ids_u)),
+            ctypes.c_uint64(eos_id),
+            ctypes.c_uint64(bos_id),
+            ctypes.c_int32(self._N),
+            self._uni_prob,
+            self._uni_backoff,
+            self._keys,
+            self._nkeys,
+            self._tkeys,
+            self._tidx,
+            self._masks,
+            self._probs,
+            self._backoffs,
+            ctypes.c_int32(1 if stupid_backoff else 0),
+            ctypes.c_double(log10_alpha),
+            ctypes.byref(total),
+        )
+        return total.value, int(n_sent)
+
     def score_reduce(
         self,
         flat: np.ndarray,

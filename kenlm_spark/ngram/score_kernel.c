@@ -53,6 +53,88 @@ static int64_t lookup_bsearch(const uint64_t *keys, int64_t n, uint64_t key) {
  * order — exactly np.bincount's sequential adds over
  * where(scored, token_prob, 0.0) (the skipped +0.0 adds are identities:
  * the accumulator starts at +0.0 and can never become -0.0). */
+/* Walk a raw EOS-delimited id stream with a VIRTUAL BOS at each
+ * sentence start — no materialized flat array at all (the
+ * kenlm_benchmark -q hot path: the whole timed region is this one
+ * call).  Each run of ids up to and including eos_id is one sentence
+ * scored bos=True (EOS is a literal stream element, so eos=True is
+ * implied by the data); a trailing fragment scores bos=True/eos=False.
+ * Bit-identical to building the flat stream and calling score_stream:
+ * same per-position math, same accumulation order.  Returns the number
+ * of sentences; *total_out = sum of all sentence log10 probs. */
+int64_t score_eos_stream(
+    const uint64_t *ids, int64_t n, uint64_t eos_id, uint64_t bos_id,
+    int32_t N,
+    const float *uni_prob, const float *uni_backoff,
+    const uint64_t **keys, const int64_t *nkeys,
+    const uint64_t **tkeys, const int64_t **tidx, const uint64_t *masks,
+    const float **probs, const float **backoffs,
+    int32_t stupid, double log10_alpha,
+    double *total_out)
+{
+    double bo_prev[MAX_ORDER], bo_cur[MAX_ORDER];
+    double total = 0.0;
+    int64_t n_sent = 0, s_start = 0;
+    int32_t m, nn;
+    while (s_start < n) {
+        /* sentence body = ids[s_start .. end), where ids[end-1] may be
+         * eos; positions: 0 = virtual BOS, p >= 1 = ids[s_start+p-1] */
+        const uint64_t *base = ids + s_start;
+        int64_t len = 0;
+        while (s_start + len < n && base[len] != eos_id) len++;
+        if (s_start + len < n) len++; /* include the EOS element */
+        for (m = 0; m < MAX_ORDER; m++) bo_prev[m] = 0.0;
+        {
+            int64_t p;
+            for (p = 0; p <= len; p++) {
+                uint64_t w = (p == 0) ? bos_id : base[p - 1];
+                double pr = (double)uni_prob[w];
+                int32_t kk = 1;
+                uint64_t key = w;
+                int32_t maxn = (p + 1 < (int64_t)N) ? (int32_t)(p + 1) : N;
+                for (m = 1; m < N; m++) bo_cur[m] = 0.0;
+                bo_cur[1] = (double)uni_backoff[w];
+                for (nn = 2; nn <= maxn; nn++) {
+                    int64_t idx, q = p - nn + 1;
+                    uint64_t ctx = (q == 0) ? bos_id : base[q - 1];
+                    key = key * COMBINE_MUL ^ (1ULL + ctx) * WORD_MUL;
+                    idx = tkeys[nn] != 0
+                              ? lookup_probe(tkeys[nn], tidx[nn],
+                                             masks[nn], key)
+                              : lookup_bsearch(keys[nn], nkeys[nn], key);
+                    if (idx < 0) break;
+                    kk = nn;
+                    pr = (double)probs[nn][idx];
+                    if (nn < N) bo_cur[nn] = (double)backoffs[nn][idx];
+                }
+                if (stupid) {
+                    int32_t L = (p < (int64_t)(N - 1)) ? (int32_t)p : N - 1;
+                    int64_t skipped = (int64_t)L - (int64_t)(kk - 1);
+                    if (skipped > 0) pr = pr + (double)skipped * log10_alpha;
+                } else {
+                    int32_t L = (p < (int64_t)(N - 1)) ? (int32_t)p : N - 1;
+                    double cs = 0.0, hi = 0.0, lo = 0.0, charge = 0.0;
+                    if (p > 0) {
+                        for (m = 1; m <= L; m++) {
+                            cs = cs + bo_prev[m];
+                            if (m == kk - 1) lo = cs;
+                            if (m == L) hi = cs;
+                        }
+                        charge = hi - lo;
+                    }
+                    pr = pr + charge;
+                }
+                if (p > 0) total = total + pr; /* BOS never scored */
+                for (m = 1; m < N; m++) bo_prev[m] = bo_cur[m];
+            }
+        }
+        n_sent++;
+        s_start += len; /* len >= 1 whenever s_start < n */
+    }
+    *total_out = total;
+    return n_sent;
+}
+
 void score_stream(
     const uint64_t *flat, const int64_t *pos_in_sent, int64_t T, int32_t N,
     const float *uni_prob, const float *uni_backoff,

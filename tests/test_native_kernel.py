@@ -135,3 +135,82 @@ def test_native_disabled_by_env(monkeypatch):
     monkeypatch.setattr(nk, "_lib", None)
     monkeypatch.setattr(nk, "_lib_tried", False)
     assert nk._compile() is None
+
+
+def test_score_id_stream_matches_score_batch():
+    """score_id_stream (vectorized flat-build over an EOS-delimited
+    stream, benchmark_cli's hot path) must reproduce split+score_batch
+    raw bits — including empty sentences (consecutive EOS), a trailing
+    fragment, and a no-EOS stream — on BOTH the native and numpy paths."""
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    m = load_arpa(str(FIXTURES / "test.arpa"))
+    eos = m.eos_id
+    rng = np.random.Generator(np.random.PCG64(21))
+
+    def make_stream(n_sent, frag):
+        parts = []
+        sents = []
+        for _ in range(n_sent):
+            body = rng.integers(0, m.vocab_size, size=rng.integers(0, 9))
+            body = body[body != eos]
+            sents.append(body.astype(np.int64))
+            parts.append(np.append(body, eos))
+        tail = None
+        if frag:
+            tail = rng.integers(1, m.vocab_size, size=5)
+            tail = tail[tail != eos].astype(np.int64)
+            parts.append(tail)
+        stream = (
+            np.concatenate(parts).astype(np.int64)
+            if parts
+            else np.empty(0, np.int64)
+        )
+        return stream, sents, tail
+
+    for n_sent, frag in ((40, False), (40, True), (0, True), (1, False)):
+        stream, sents, tail = make_stream(n_sent, frag)
+        for native in (True, False):
+            if native:
+                m.__dict__.pop("_native_scorer", None)
+                assert m._native() is not None
+            else:
+                m._native_scorer = None
+            got_s, got_o, got_n = m.score_id_stream(stream)
+            exp_parts = []
+            if sents:
+                exp_parts.append(m.score_batch(sents, bos=True, eos=True))
+            if tail is not None and len(tail):
+                exp_parts.append(m.score_batch([tail], bos=True, eos=False))
+            exp_s = np.concatenate([p[0] for p in exp_parts])
+            exp_o = np.concatenate([p[1] for p in exp_parts])
+            exp_n = np.concatenate([p[2] for p in exp_parts])
+            assert np.array_equal(
+                got_s.view(np.uint64), exp_s.view(np.uint64)
+            ), (n_sent, frag, native)
+            assert np.array_equal(got_o, exp_o), (n_sent, frag, native)
+            assert np.array_equal(got_n, exp_n), (n_sent, frag, native)
+
+
+def test_score_eos_stream_total_matches():
+    """The zero-construction raw-stream walk (score_id_stream_total via
+    score_eos_stream) must agree with score_id_stream's per-sentence
+    sums to sequential-vs-grouped rounding (and exactly here)."""
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    m = load_arpa(str(FIXTURES / "test.arpa"))
+    eos = m.eos_id
+    rng = np.random.Generator(np.random.PCG64(31))
+    parts = []
+    for _ in range(500):
+        b = rng.integers(0, m.vocab_size, size=rng.integers(0, 9))
+        parts.append(np.append(b[b != eos], eos))
+    parts.append(np.array([3, 4, 5]))  # trailing fragment
+    ids = np.concatenate(parts).astype(np.int64)
+    for stupid in (False, True):
+        m.__dict__.pop("_native_scorer", None)
+        assert m._native() is not None
+        t_native = m.score_id_stream_total(ids, stupid_backoff=stupid)
+        s, _, _ = m.score_id_stream(ids, stupid_backoff=stupid)
+        t_batch = float(np.sum(s))
+        assert abs(t_native - t_batch) <= 1e-9 * abs(t_batch), stupid
