@@ -108,6 +108,7 @@ class NativeScorer:
 
         self._uni_prob = as_ptr(model.uni_prob, ctypes.c_float)
         self._uni_backoff = as_ptr(model.uni_backoff, ctypes.c_float)
+        self._vocab_n = len(model.uni_prob)
         self._keys = (u64p * _MAX_ORDER)()
         self._nkeys = (ctypes.c_int64 * _MAX_ORDER)()
         self._tkeys = (u64p * _MAX_ORDER)()
@@ -135,12 +136,25 @@ class NativeScorer:
                 self._tidx[n] = as_ptr(tidx, ctypes.c_int64)
                 self._masks[n] = int(mask)
 
+    def _check_ids(self, ids_u: np.ndarray) -> None:
+        """An out-of-range token id would index past the unigram arrays
+        in C — a segfault that takes the whole executor down, where the
+        numpy path merely raises IndexError.  One vectorized max() is
+        cheap insurance (negative ids wrap to huge uint64s, so this
+        also catches them)."""
+        if len(ids_u) and int(ids_u.max()) >= self._vocab_n:
+            raise IndexError(
+                f"token id {int(ids_u.max())} out of range "
+                f"(vocab size {self._vocab_n})"
+            )
+
     def _call(
         self, flat, pos_in_sent, stupid_backoff, log10_alpha,
         sent_idx=None, n_sent=0, bos=True, want_tokens=True,
     ):
         T = len(flat)
         flat_u = np.ascontiguousarray(flat, dtype=np.uint64)
+        self._check_ids(flat_u)
         pos = np.ascontiguousarray(pos_in_sent, dtype=np.int64)
         f64p = ctypes.POINTER(ctypes.c_double)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -212,6 +226,7 @@ class NativeScorer:
         positions (documented: np.sum over per-sentence scores groups
         differently in the low bits)."""
         ids_u = np.ascontiguousarray(ids, dtype=np.uint64)
+        self._check_ids(ids_u)
         total = ctypes.c_double(0.0)
         lib = self._lib
         lib.score_eos_stream.restype = ctypes.c_int64

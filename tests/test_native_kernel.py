@@ -214,3 +214,18 @@ def test_score_eos_stream_total_matches():
         s, _, _ = m.score_id_stream(ids, stupid_backoff=stupid)
         t_batch = float(np.sum(s))
         assert abs(t_native - t_batch) <= 1e-9 * abs(t_batch), stupid
+
+
+def test_native_rejects_out_of_range_ids():
+    """Out-of-range / negative ids must raise (the numpy path's
+    IndexError behavior), never reach the C kernel (segfault class)."""
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    m = load_arpa(str(FIXTURES / "test.arpa"))
+    assert m._native() is not None
+    for bad in (m.vocab_size, -1):
+        sents = [np.array([1, 2, bad], dtype=np.int64)]
+        with pytest.raises(IndexError):
+            m.score_batch(sents)
+        with pytest.raises(IndexError):
+            m.score_id_stream_total(sents[0])
