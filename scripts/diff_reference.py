@@ -487,6 +487,49 @@ def write_big_random_arpa(path: str, seed: int = 977) -> list[str]:
     return vocab
 
 
+def stream_api_leg(kenlm, n_sents: int = 4000) -> tuple[int, float]:
+    """r6: the EOS-delimited stream APIs (score_id_stream per-sentence,
+    score_id_stream_total / score_eos_stream one-call C walk — the
+    kenlm_benchmark -q hot path) vs the compiled reference summing
+    Model.score per sentence.  Includes empty lines and a trailing
+    fragment."""
+    import numpy as np
+
+    from kenlm_spark.ngram.arpa import load_arpa
+
+    rng = random.Random(606)
+    fixture = "tests/fixtures/test.arpa"
+    ref = kenlm.Model(fixture)
+    ours = load_arpa(fixture)
+    words = [w for w in ours.vocab if w not in ("<s>", "</s>")] + ["zoov"]
+    sents = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12)))
+        for _ in range(n_sents)
+    ]
+    eos = ours.eos_id
+    parts = [
+        np.append(np.asarray(ours.map_ids(s.split()), np.int64), eos)
+        for s in sents
+    ]
+    frag = "looking on a little"
+    parts.append(np.asarray(ours.map_ids(frag.split()), np.int64))
+    stream = np.concatenate(parts)
+    got_s, _, _ = ours.score_id_stream(stream)
+    worst = 0.0
+    for i, s in enumerate(sents):
+        d = abs(ref.score(s, bos=True, eos=True) - float(got_s[i]))
+        worst = max(worst, d)
+        if d > 1e-4:
+            raise AssertionError(f"STREAM MISMATCH {s!r}: d={d}")
+    d = abs(ref.score(frag, bos=True, eos=False) - float(got_s[-1]))
+    worst = max(worst, d)
+    assert d <= 1e-4, f"STREAM FRAGMENT MISMATCH: d={d}"
+    total = ours.score_id_stream_total(stream)
+    dt = abs(total - float(np.sum(got_s)))
+    assert dt <= 1e-6 * max(1.0, abs(total)), dt
+    return len(sents) + 2, worst
+
+
 def big_model_probing_leg(kenlm, n_sents: int = 4000) -> tuple[int, float]:
     """Differential check of score_batch's PROBING fast path (r5) — and,
     since r6, of the compiled native kernel when it builds (the default):
@@ -679,6 +722,7 @@ def main() -> int:
             f"ppl + batch | {time.time() - t0:.1f}s |"
         )
 
+    stream_checked, stream_worst = stream_api_leg(kenlm, n_sents=max(n, 500))
     chart_checked, chart_worst = compare_chart_composition(max(n // 10, 100))
     fuzz_checked, fuzz_worst = fuzz_random_models(
         kenlm, n_models=max(n // 40, 20), n_sents=40
@@ -724,6 +768,12 @@ def main() -> int:
         "hallucination, optional <unk>, random backoffs incl. 0.0) scored",
         "by both engines on random sentences: "
         f"**{fuzz_checked}** checks, worst |Δ| = **{fuzz_worst:.2e}**.",
+        "",
+        "Stream APIs (r6): score_id_stream / score_id_stream_total (the",
+        "one-call C walk over a raw EOS-delimited id stream — the",
+        "kenlm_benchmark -q hot path, incl. empty lines and a trailing",
+        f"fragment) vs the reference per sentence: **{stream_checked}**",
+        f"sentences, worst |Δ| = **{stream_worst:.2e}**.",
         "",
         "Big-model probing fast path (r5): a 24k-bigram/20k-trigram",
         "random model — past the 16,384-key threshold, so score_batch's",
