@@ -109,6 +109,9 @@ class NativeScorer:
         self._uni_prob = as_ptr(model.uni_prob, ctypes.c_float)
         self._uni_backoff = as_ptr(model.uni_backoff, ctypes.c_float)
         self._vocab_n = len(model.uni_prob)
+        self._bos_id = model.bos_id
+        self._eos_id = model.eos_id
+        self._vtable = None  # built lazily by _ensure_vocab_table
         self._keys = (u64p * _MAX_ORDER)()
         self._nkeys = (ctypes.c_int64 * _MAX_ORDER)()
         self._tkeys = (u64p * _MAX_ORDER)()
@@ -135,6 +138,106 @@ class NativeScorer:
                 self._tkeys[n] = as_ptr(tkeys, ctypes.c_uint64)
                 self._tidx[n] = as_ptr(tidx, ctypes.c_int64)
                 self._masks[n] = int(mask)
+
+    def _ensure_vocab_table(self, model) -> bool:
+        """Build the MurmurHash64A-keyed probing vocab (the reference's
+        own vocab design) once per process; False if the layout can't
+        represent this vocab (in-vocab murmur collision, a zero hash,
+        eos_id == 0 — all fall back to the dict path).  A miss maps to
+        <unk>=0; an OOV token colliding with a vocab word maps to that
+        word, exactly as the reference's hash-keyed vocab does."""
+        if self._vtable is not None:
+            return self._vtable is not False
+        ok = False
+        try:
+            if self._eos_id != 0 and self._vocab_n:
+                V = self._vocab_n
+                words = [""] * V
+                for w, i in model.vocab.items():
+                    words[i] = w
+                enc = [w.encode("utf-8") for w in words]
+                lens = np.fromiter((len(b) for b in enc), np.int64, V)
+                offs = np.zeros(V + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+                hashes = np.empty(V, dtype=np.uint64)
+                self._lib.hash_words.restype = None
+                self._lib.hash_words(
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    ctypes.c_int64(V),
+                    hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                )
+                if len(np.unique(hashes)) == V:
+                    from kenlm_spark.ngram.model import _build_probing_table
+
+                    t = _build_probing_table(hashes)
+                    if t is not None:
+                        tkeys, tidx, mask = t
+                        self._refs.extend([tkeys, tidx])
+                        self._vtable = (
+                            tkeys.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_uint64)
+                            ),
+                            tidx.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_int64)
+                            ),
+                            int(mask),
+                        )
+                        ok = True
+        except Exception:
+            ok = False
+        if not ok:
+            self._vtable = False
+        return ok
+
+    def score_captions(
+        self,
+        buf: np.ndarray,
+        offsets: np.ndarray,
+        stupid_backoff: bool,
+        log10_alpha: float,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(log10_score, oov_count, n_tokens) per caption over a packed
+        utf-8 buffer + offsets — tokenize, vocab-map and score
+        (bos=True, eos=True) fused in one GIL-free C pass."""
+        if self._vtable in (None, False):
+            raise RuntimeError("vocab table unavailable")
+        n = len(offsets) - 1
+        buf = np.ascontiguousarray(buf, dtype=np.uint8)
+        offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        scores = np.empty(n, dtype=np.float64)
+        oov = np.empty(n, dtype=np.int64)
+        ntok = np.empty(n, dtype=np.int64)
+        vkeys, vids, vmask = self._vtable
+        lib = self._lib
+        lib.score_captions.restype = None
+        lib.score_captions(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            vkeys,
+            vids,
+            ctypes.c_uint64(vmask),
+            ctypes.c_uint64(self._bos_id),
+            ctypes.c_uint64(self._eos_id),
+            ctypes.c_int32(self._N),
+            self._uni_prob,
+            self._uni_backoff,
+            self._keys,
+            self._nkeys,
+            self._tkeys,
+            self._tidx,
+            self._masks,
+            self._probs,
+            self._backoffs,
+            ctypes.c_int32(1 if stupid_backoff else 0),
+            ctypes.c_double(log10_alpha),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            oov.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ntok.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return scores, oov, ntok
 
     def _check_ids(self, ids_u: np.ndarray) -> None:
         """An out-of-range token id would index past the unigram arrays

@@ -53,6 +53,167 @@ static int64_t lookup_bsearch(const uint64_t *keys, int64_t n, uint64_t key) {
  * order — exactly np.bincount's sequential adds over
  * where(scored, token_prob, 0.0) (the skipped +0.0 adds are identities:
  * the accumulator starts at +0.0 and can never become -0.0). */
+/* ---- MurmurHash64A (public domain, Austin Appleby) — the repo's shared
+ * vocab hash (hashing.py murmur_hash64a, util/murmur_hash.cc twin). */
+#define MURMUR_M 0xC6A4A7935BD1E995ULL
+#define MURMUR_R 47
+
+static uint64_t murmur64a(const uint8_t *data, int64_t len, uint64_t seed) {
+    uint64_t h = seed ^ ((uint64_t)len * MURMUR_M);
+    int64_t nb = len >> 3, i;
+    for (i = 0; i < nb; i++) {
+        uint64_t k;
+        const uint8_t *p = data + (i << 3);
+        k = (uint64_t)p[0] | (uint64_t)p[1] << 8 | (uint64_t)p[2] << 16 |
+            (uint64_t)p[3] << 24 | (uint64_t)p[4] << 32 |
+            (uint64_t)p[5] << 40 | (uint64_t)p[6] << 48 |
+            (uint64_t)p[7] << 56;
+        k *= MURMUR_M;
+        k ^= k >> MURMUR_R;
+        k *= MURMUR_M;
+        h ^= k;
+        h *= MURMUR_M;
+    }
+    {
+        const uint8_t *tail = data + (nb << 3);
+        int64_t rem = len & 7;
+        if (rem) {
+            uint64_t k = 0;
+            int64_t j;
+            for (j = 0; j < rem; j++) k |= (uint64_t)tail[j] << (8 * j);
+            h ^= k;
+            h *= MURMUR_M;
+        }
+    }
+    h ^= h >> MURMUR_R;
+    h *= MURMUR_M;
+    h ^= h >> MURMUR_R;
+    return h;
+}
+
+/* Hash each word (offsets[i]..offsets[i+1] bytes of buf) — used once per
+ * process to build the vocab probing table in native_kernel.py. */
+void hash_words(const uint8_t *buf, const int64_t *offsets, int64_t n,
+                uint64_t *out) {
+    int64_t i;
+    for (i = 0; i < n; i++)
+        out[i] = murmur64a(buf + offsets[i], offsets[i + 1] - offsets[i], 0);
+}
+
+#define IS_DELIM(b) ((b) == 0 || (b) == '\t' || (b) == '\n' || \
+                     (b) == '\r' || (b) == ' ')
+
+/* Fused caption scorer — the production quality-filter hot path: for
+ * each caption (bytes buf[offsets[i]..offsets[i+1])), tokenize on the
+ * repo's exact delimiter set (all 5 are ASCII, so the byte walk equals
+ * the unicode regex split), map each token to its id through a
+ * MurmurHash64A-keyed probing vocab (the reference's own vocab design,
+ * util/probing_hash_table.hh; a miss is <unk>=0), and score
+ * bos=True/eos=True — all in one pass, nothing Python-side.  Only the
+ * last 15 ids are needed for the hash recurrence, so a 16-slot ring
+ * replaces the id arrays entirely.  Emits per caption: log10 score,
+ * OOV count, body token count. */
+void score_captions(
+    const uint8_t *buf, const int64_t *offsets, int64_t n_cap,
+    const uint64_t *vkeys, const int64_t *vids, uint64_t vmask,
+    uint64_t bos_id, uint64_t eos_id,
+    int32_t N,
+    const float *uni_prob, const float *uni_backoff,
+    const uint64_t **keys, const int64_t *nkeys,
+    const uint64_t **tkeys, const int64_t **tidx, const uint64_t *masks,
+    const float **probs, const float **backoffs,
+    int32_t stupid, double log10_alpha,
+    double *out_scores, int64_t *out_oov, int64_t *out_ntok)
+{
+    uint64_t ring[16];
+    double bo_prev[MAX_ORDER], bo_cur[MAX_ORDER];
+    int64_t i;
+    for (i = 0; i < n_cap; i++) {
+        const uint8_t *s = buf + offsets[i];
+        int64_t slen = offsets[i + 1] - offsets[i], pos = 0;
+        double acc = 0.0;
+        int64_t oov = 0, ntok = 0, p = 0;
+        int32_t m, nn;
+        int64_t tok_start;
+        for (m = 0; m < MAX_ORDER; m++) bo_prev[m] = 0.0;
+        ring[0] = bos_id;
+        /* p = 0: the BOS position (unscored, charges next position) */
+        /* then one position per token, then the EOS position */
+        for (;;) {
+            uint64_t w;
+            int at_eos = 0;
+            if (p == 0) {
+                w = bos_id;
+            } else {
+                while (pos < slen && IS_DELIM(s[pos])) pos++;
+                if (pos >= slen) {
+                    w = eos_id;
+                    at_eos = 1;
+                } else {
+                    uint64_t h;
+                    int64_t idx;
+                    tok_start = pos;
+                    while (pos < slen && !IS_DELIM(s[pos])) pos++;
+                    h = murmur64a(s + tok_start, pos - tok_start, 0);
+                    idx = vkeys != 0
+                              ? lookup_probe(vkeys, vids, vmask, h)
+                              : -1;
+                    w = idx >= 0 ? (uint64_t)idx : 0;
+                    ntok++;
+                    if (w == 0) oov++;
+                }
+                ring[p & 15] = w;
+            }
+            {
+                double pr = (double)uni_prob[w];
+                int32_t kk = 1;
+                uint64_t key = w;
+                int32_t maxn = (p + 1 < (int64_t)N) ? (int32_t)(p + 1) : N;
+                for (m = 1; m < N; m++) bo_cur[m] = 0.0;
+                bo_cur[1] = (double)uni_backoff[w];
+                for (nn = 2; nn <= maxn; nn++) {
+                    int64_t idx;
+                    uint64_t ctx = ring[(p - nn + 1) & 15];
+                    key = key * COMBINE_MUL ^ (1ULL + ctx) * WORD_MUL;
+                    idx = tkeys[nn] != 0
+                              ? lookup_probe(tkeys[nn], tidx[nn],
+                                             masks[nn], key)
+                              : lookup_bsearch(keys[nn], nkeys[nn], key);
+                    if (idx < 0) break;
+                    kk = nn;
+                    pr = (double)probs[nn][idx];
+                    if (nn < N) bo_cur[nn] = (double)backoffs[nn][idx];
+                }
+                if (stupid) {
+                    int32_t L = (p < (int64_t)(N - 1)) ? (int32_t)p : N - 1;
+                    int64_t skipped = (int64_t)L - (int64_t)(kk - 1);
+                    if (skipped > 0)
+                        pr = pr + (double)skipped * log10_alpha;
+                } else {
+                    int32_t L = (p < (int64_t)(N - 1)) ? (int32_t)p : N - 1;
+                    double cs = 0.0, hi = 0.0, lo = 0.0, charge = 0.0;
+                    if (p > 0) {
+                        for (m = 1; m <= L; m++) {
+                            cs = cs + bo_prev[m];
+                            if (m == kk - 1) lo = cs;
+                            if (m == L) hi = cs;
+                        }
+                        charge = hi - lo;
+                    }
+                    pr = pr + charge;
+                }
+                if (p > 0) acc = acc + pr;
+                for (m = 1; m < N; m++) bo_prev[m] = bo_cur[m];
+            }
+            if (at_eos) break;
+            p++;
+        }
+        out_scores[i] = acc;
+        out_oov[i] = oov;
+        out_ntok[i] = ntok;
+    }
+}
+
 /* Walk a raw EOS-delimited id stream with a VIRTUAL BOS at each
  * sentence start — no materialized flat array at all (the
  * kenlm_benchmark -q hot path: the whole timed region is this one

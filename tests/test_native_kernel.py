@@ -229,3 +229,47 @@ def test_native_rejects_out_of_range_ids():
             m.score_batch(sents)
         with pytest.raises(IndexError):
             m.score_id_stream_total(sents[0])
+
+
+def test_fused_caption_scorer_matches_legacy():
+    """The fused C caption path (tokenize + murmur vocab + score in one
+    pass, scorer._score_frame fast path) must be bitwise-equal to the
+    legacy regex-split + dict-map + score_batch path — including
+    multibyte UTF-8, runs of every delimiter, empty/None captions,
+    literal specials, and captions longer than the model order."""
+    import pandas as pd
+
+    from kenlm_spark.ngram.arpa import load_arpa
+    from kenlm_spark.ngram.scorer import _score_frame
+
+    m = load_arpa(str(FIXTURES / "test.arpa"))
+    vocab_words = [w for w in m.vocab if w not in ("<s>",)]
+    rng = np.random.Generator(np.random.PCG64(77))
+    rows = []
+    for _ in range(300):
+        k = int(rng.integers(0, 12))
+        words = [
+            vocab_words[int(rng.integers(0, len(vocab_words)))]
+            if rng.random() < 0.7
+            else rng.choice(["zzz", "héllo", "日本語", "a.b,c", "<unk>"])
+            for _ in range(k)
+        ]
+        sep = rng.choice([" ", "  ", "\t", "\n", " \r ", "\x00"])
+        rows.append(sep.join(words))
+    rows += ["", None, "   ", "\t\n\r\x00", "x " * 500]
+    texts = pd.Series(rows)
+    for stupid in (False, True):
+        m._native_scorer = None
+        a = _score_frame(m, texts, stupid, 1 << 19)
+        del m.__dict__["_native_scorer"]
+        assert m._native() is not None
+        assert m._native()._ensure_vocab_table(m)
+        b = _score_frame(m, texts, stupid, 1 << 19)
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if av.dtype == np.float64:
+                assert np.array_equal(
+                    av.view(np.uint64), bv.view(np.uint64)
+                ), (col, stupid)
+            else:
+                assert np.array_equal(av, bv), (col, stupid)
