@@ -531,6 +531,29 @@ def q_keep_drop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule monitoring rollup, oracle-checked (r6): keep/drop/scrub
+    counts per (lang_pred, drop_reason) over the full decision pipeline.
+    These are the same aggregates the zero-extra-scan Observation path
+    emits in production (pipeline.run_observed / streaming
+    observe_filter_metrics — pinned equal in tests/test_pipeline.py);
+    this relational twin makes the metric VALUES engine-checkable."""
+    docs = _docs(spark, sf_dir)
+    kd = _keep_drop_frame(spark, docs)
+    joined = kd.join(docs.select("doc_id", "text"), "doc_id")
+    return joined.groupBy(
+        "lang_pred",
+        F.coalesce("drop_reason", F.lit("none")).alias("drop_reason"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(
+            (F.col("scrubbed") != F.coalesce(F.col("text"), F.lit("")))
+            .cast("long")
+        ).alias("n_scrubbed"),
+    )
+
+
 def q_ngram_count_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/W1: padded bigram counting (explode + partial-agg groupBy)."""
     from kenlm_spark.operators.ngrams import ngram_counts
@@ -1357,10 +1380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; queries outside the window must be unchanged AND hash-green
     # in the previous round's driver record; unsampled-last-round queries
     # rotate back in.  r6 window = the 16 queries r5 did not sample
-    # (all green in r4 + re-verified locally) + the 16 r6-touched queries
-    # (passage/contamination/curation/IVF-PQ rewrites and every
-    # scorer-path query, which now runs the compiled kernel) + 18 more;
-    # the 16 rotated out are untouched and r5-hash-green.
+    # (all green in r4 + re-verified locally) + the 17 r6-touched/new
+    # queries (passage/contamination/curation/IVF-PQ rewrites, every
+    # scorer-path query — now on the compiled kernel — and the new
+    # q_filter_metrics) + 17 fill; the 17 rotated out are untouched and
+    # r5-hash-green.
     return {
         # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
@@ -1397,7 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keep_drop": q_keep_drop,
         "q_keep_drop_stream": q_keep_drop_stream,
         "q_keep_drop_join": q_keep_drop_join,
-        # --- window fill (18)
+        "q_filter_metrics": q_filter_metrics,  # NEW r6 (observed-metrics twin)
+        # --- window fill (17)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
@@ -1415,9 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
-        "q_quality_filter": q_quality_filter,
         # --- outside the 50-window: untouched this round, hash-green in
         # the r5 driver record (CORRECTNESS_r05.json)
+        "q_quality_filter": q_quality_filter,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
         "q_interpolate_models": q_interpolate_models,
         "q_interpolate_tuned": q_interpolate_tuned,
@@ -1639,6 +1664,17 @@ FROM (
         "q_keep_drop": keep_drop,
         "q_keep_drop_stream": keep_drop,
         "q_keep_drop_join": keep_drop,
+        "q_filter_metrics": f"""
+WITH kd AS ({keep_drop})
+SELECT kd.lang_pred,
+       coalesce(kd.drop_reason, 'none') AS drop_reason,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kd.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN kd.scrubbed <> coalesce(d.text, '')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+FROM kd JOIN documents d ON d.doc_id = kd.doc_id
+GROUP BY 1, 2
+""",
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

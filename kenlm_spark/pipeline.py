@@ -251,18 +251,52 @@ class QualityFilterPipeline:
     # ----------------------------------------------------------- metrics
 
     @staticmethod
-    def metrics(result: DataFrame) -> DataFrame:
-        """Per-partition lineage metrics (north-rule requirement)."""
-        return result.groupBy("part_id").agg(
-            F.count("*").alias("n_rows"),
+    def _metric_exprs(text_col: str = "caption") -> list:
+        """The keep/drop/scrub metric aggregates (shared by the recompute
+        path, the observed single-pass path, and the streaming observer)."""
+        return [
+            F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
             F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
             F.sum(
-                (F.col("scrubbed_caption") != F.coalesce(F.col("caption"), F.lit("")))
-                .cast("long")
+                (
+                    F.col("scrubbed_caption")
+                    != F.coalesce(F.col(text_col), F.lit(""))
+                ).cast("long")
             ).alias("n_scrubbed"),
             F.sum(F.col("lm_oov_count")).alias("n_oov_tokens"),
+        ]
+
+    @staticmethod
+    def metrics(result: DataFrame, text_col: str = "caption") -> DataFrame:
+        """Per-partition lineage metrics (north-rule requirement).
+
+        This is the AUDIT path — it re-aggregates the result by the
+        stamped ``part_id``. For the production monitoring rollup use
+        ``run_observed``: same totals, collected during the main action
+        with no second scan.
+        """
+        return result.groupBy("part_id").agg(
+            *QualityFilterPipeline._metric_exprs(text_col)
         )
+
+    def run_observed(self, images: DataFrame, text_col: str = "caption"):
+        """``run`` plus a zero-cost global metrics rollup.
+
+        Returns ``(result, observation)``: the metric aggregates ride the
+        SAME job via ``DataFrame.observe`` (Spark accumulates them on the
+        executors during whatever action the caller runs — at 100 TB this
+        halves the cost of "filter + report keep/drop/scrub counts", which
+        otherwise needs a second full scan or a cached intermediate).
+        ``observation.get`` blocks until the first action on ``result``
+        has completed and then yields
+        ``{n_rows, n_keep, n_drop, n_scrubbed, n_oov_tokens}``.
+        """
+        from pyspark.sql import Observation
+
+        result = self.run(images, text_col)
+        obs = Observation("filter_metrics")
+        return result.observe(obs, *self._metric_exprs(text_col)), obs
 
     # ------------------------------------------------- snapshot checkpoints
 

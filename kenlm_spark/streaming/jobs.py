@@ -123,10 +123,63 @@ def running_user_stats_stream(
     )
 
 
+def observe_filter_metrics(
+    df: DataFrame, name: str = "filter_metrics", exprs: list | None = None
+) -> DataFrame:
+    """Attach per-micro-batch keep/drop monitoring metrics via ``observe``.
+
+    This is the streaming production-monitoring story the north rule asks
+    for: the counts are accumulated on the executors DURING each
+    micro-batch (no extra pass, no second aggregation query over the
+    sink) and surface in every ``StreamingQueryProgress`` under
+    ``observedMetrics[name]`` — read them with ``observed_totals``.
+    For the batch pipeline the same single-pass rollup is
+    ``QualityFilterPipeline.run_observed`` (``pyspark.sql.Observation``).
+
+    Default metrics assume a keep/drop decision frame (a ``keep`` bool and
+    a nullable ``drop_reason``): total rows, keeps, drops, and one counter
+    per drop reason the north-rule pipeline emits.
+    """
+    if exprs is None:
+        exprs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+        ] + [
+            F.sum(
+                (F.col("drop_reason") == F.lit(r)).cast("long")
+            ).alias(f"n_drop_{r}")
+            for r in ("quality", "lang", "oov", "perplexity")
+        ]
+    return df.observe(name, *exprs)
+
+
+def observed_totals(query, name: str = "filter_metrics") -> dict:
+    """Sum a named observation across every micro-batch of a streaming
+    query (running or finished): the job-level rollup of the per-batch
+    ``observedMetrics``. Batches that carried no data for the observed
+    subtree are skipped."""
+    totals: dict = {}
+    for p in query.recentProgress:
+        row = (p.observedMetrics or {}).get(name)
+        if row is None:
+            continue
+        for k, v in row.asDict().items():
+            if v is not None:
+                totals[k] = totals.get(k, 0) + v
+    return totals
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str | None = None
 ) -> list:
-    """Drain a bounded stream into a memory sink; return the rows."""
+    """Drain a bounded stream into a memory sink; return the rows.
+
+    The finished ``StreamingQuery`` is exposed as
+    ``run_available_now.last_query`` so callers can read per-batch
+    progress / ``observedMetrics`` without changing the long-standing
+    rows return type.
+    """
     if output_mode is None:
         output_mode = (
             "complete"
@@ -141,6 +194,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(300)
+    run_available_now.last_query = q
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 

@@ -127,6 +127,69 @@ def test_metrics_lineage(spark, arpa_model):
     assert len(m) > 1, "expected multiple partitions in lineage metrics"
 
 
+def test_run_observed_single_pass_matches_recompute(spark, arpa_model):
+    """run_observed's zero-extra-scan rollup (df.observe) must equal the
+    audit path's per-partition metrics() summed — same definitions, one
+    collected during the main action, one recomputed after it."""
+    images = generate_images(spark, n_rows=200, seed=7)
+    pipe = QualityFilterPipeline(spark, arpa_model)
+    result, obs = pipe.run_observed(images)
+    rows = result.collect()  # the action that feeds the observation
+    assert len(rows) == 200
+    got = obs.get
+    audit = pipe.metrics(pipe.run(images)).collect()
+    want = {
+        k: sum(r[k] for r in audit)
+        for k in ("n_rows", "n_keep", "n_drop", "n_scrubbed", "n_oov_tokens")
+    }
+    assert got == want
+    assert got["n_keep"] + got["n_drop"] == 200
+
+
+def test_streaming_observed_metrics_match_batch(spark, arpa_model, tmp_path):
+    """observe_filter_metrics on the STREAMING pipeline: per-micro-batch
+    observedMetrics summed across the drain must equal the batch
+    pipeline's counts over the same input — monitoring with no second
+    pass over the sink."""
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.streaming.jobs import (
+        filtered_captions_stream,
+        observe_filter_metrics,
+        observed_totals,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "imgs")
+    generate_images(spark, n_rows=150, seed=11).write.parquet(src)
+
+    stream = filtered_captions_stream(spark, src, arpa_model)
+    stream = observe_filter_metrics(stream)
+    run_available_now(stream.select("image_id", "keep"), "obs_stream_t")
+    totals = observed_totals(run_available_now.last_query)
+
+    batch = QualityFilterPipeline(spark, arpa_model).run(
+        spark.read.parquet(src)
+    )
+    want = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+        *[
+            F.sum((F.col("drop_reason") == F.lit(r)).cast("long")).alias(
+                f"n_drop_{r}"
+            )
+            for r in ("quality", "lang", "oov", "perplexity")
+        ],
+    ).collect()[0]
+    assert totals == want.asDict()
+    assert totals["n_rows"] == 150
+    assert totals["n_drop"] == sum(
+        totals[f"n_drop_{r}"]
+        for r in ("quality", "lang", "oov", "perplexity")
+    )
+
+
 def test_snapshot_resume(spark, arpa_model, tmp_path):
     images = generate_images(spark, n_rows=120, seed=3)
     pipe = QualityFilterPipeline(spark, arpa_model)
