@@ -1034,6 +1034,46 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(df, "doc_id", "blob")
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata quality gate (r6): the decode-free image rules
+    (resolution floor, aspect bound, byte-plausibility, format set) over
+    a deterministic synthesized (w, h, fmt, bytes) per document —
+    identical derivation on both engines, so the whole gate tier is
+    oracle-checkable. In the pipeline this is FilterConfig.image_rules
+    (drop_reason 'image', gated before any caption scoring or decode)."""
+    from kenlm_spark.filtering.image_quality import (
+        image_metric_exprs,
+        image_pass_expr,
+    )
+
+    hx = F.md5(F.col("doc_id").cast("string"))
+    img = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.conv(F.substring(hx, 1, 4), 16, 10).cast("long") % 512 + 16
+        ).alias("w"),
+        (
+            F.conv(F.substring(hx, 5, 4), 16, 10).cast("long") % 512 + 16
+        ).alias("h"),
+        F.element_at(
+            F.array(F.lit("raw"), F.lit("png"), F.lit("jpeg"), F.lit("gif")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+        F.unhex(
+            F.repeat(F.md5(F.coalesce("text", F.lit(""))), (F.col("doc_id") % 512 + 1).cast("int"))
+        ).alias("bytes"),
+    )
+    m = image_metric_exprs()
+    return img.select(
+        "doc_id",
+        m["min_dim"].alias("min_dim"),
+        F.round(m["aspect"], 6).alias("aspect"),
+        F.round(m["bytes_per_pixel"], 9).alias("bytes_per_pixel"),
+        m["fmt_norm"].alias("fmt_norm"),
+        image_pass_expr(m).alias("image_pass"),
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1380,11 +1420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; queries outside the window must be unchanged AND hash-green
     # in the previous round's driver record; unsampled-last-round queries
     # rotate back in.  r6 window = the 16 queries r5 did not sample
-    # (all green in r4 + re-verified locally) + the 17 r6-touched/new
+    # (all green in r4 + re-verified locally) + the 18 r6-touched/new
     # queries (passage/contamination/curation/IVF-PQ rewrites, every
     # scorer-path query — now on the compiled kernel — and the new
-    # q_filter_metrics) + 17 fill; the 17 rotated out are untouched and
-    # r5-hash-green.
+    # q_filter_metrics + q_image_quality) + 16 fill; the 18 rotated out
+    # are untouched and r5-hash-green.
     return {
         # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
@@ -1422,7 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keep_drop_stream": q_keep_drop_stream,
         "q_keep_drop_join": q_keep_drop_join,
         "q_filter_metrics": q_filter_metrics,  # NEW r6 (observed-metrics twin)
-        # --- window fill (17)
+        "q_image_quality": q_image_quality,  # NEW r6 (image-payload gate)
+        # --- window fill (16)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
@@ -1439,9 +1480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": q_similarity_ivf,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
-        "q_quality_metrics": q_quality_metrics,
         # --- outside the 50-window: untouched this round, hash-green in
         # the r5 driver record (CORRECTNESS_r05.json)
+        "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
         "q_interpolate_models": q_interpolate_models,
@@ -1675,6 +1716,31 @@ SELECT kd.lang_pred,
 FROM kd JOIN documents d ON d.doc_id = kd.doc_id
 GROUP BY 1, 2
 """,
+        "q_image_quality": (
+            lambda iq=__import__(
+                "kenlm_spark.filtering.image_quality", fromlist=["x"]
+            ): f"""
+WITH img AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 512 + 16 AS w,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4)
+              AS BIGINT) % 512 + 16 AS h,
+         ['raw', 'png', 'jpeg', 'gif'][CAST(doc_id % 4 AS INT) + 1] AS fmt,
+         unhex(repeat(md5(coalesce(text, '')),
+                      CAST(doc_id % 512 AS INT) + 1)) AS bytes
+  FROM documents
+)
+SELECT doc_id,
+       {iq.image_quality_sql_exprs()["min_dim"]} AS min_dim,
+       round({iq.image_quality_sql_exprs()["aspect"]}, 6) AS aspect,
+       round({iq.image_quality_sql_exprs()["bytes_per_pixel"]}, 9)
+         AS bytes_per_pixel,
+       {iq.image_quality_sql_exprs()["fmt_norm"]} AS fmt_norm,
+       {iq.image_pass_sql()} AS image_pass
+FROM img
+"""
+        )(),
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

@@ -77,6 +77,14 @@ class FilterConfig:
     #: estimated model outgrows broadcast (100 TB-corpus n-gram counts).
     #: Identical scores (bit-parity-tested).
     scorer_mode: str = "broadcast"
+    #: None disables the image-metadata gate (decision parity with the
+    #: caption-only reference pipeline — the default the F1 tests pin).
+    #: A dict (see filtering.image_quality.DEFAULTS) enables the
+    #: decode-free image rules (resolution / aspect / byte-plausibility /
+    #: format) as the FIRST drop reason ('image'): pure Catalyst over the
+    #: (w, h, fmt, bytes) columns, so at 10^12 images the cheapest gate
+    #: prunes before any caption scoring or pixel decode.
+    image_rules: dict | None = None
 
 
 class QualityFilterPipeline:
@@ -236,10 +244,23 @@ class QualityFilterPipeline:
         ppl_ok = F.col("lm_perplexity") <= F.lit(cfg.max_perplexity)
         oov_ok = oov_ratio <= F.lit(cfg.max_oov_ratio)
 
+        reason = F.when(~F.col("quality_pass"), F.lit("quality"))
+        if cfg.image_rules is not None:
+            from kenlm_spark.filtering.image_quality import (
+                image_metric_exprs,
+                image_pass_expr,
+            )
+
+            im = image_metric_exprs()
+            df = df.withColumn(
+                "image_pass", image_pass_expr(im, cfg.image_rules)
+            )
+            reason = F.when(~F.col("image_pass"), F.lit("image")).when(
+                ~F.col("quality_pass"), F.lit("quality")
+            )
         df = df.withColumn(
             "drop_reason",
-            F.when(~F.col("quality_pass"), F.lit("quality"))
-            .when(~lang_ok, F.lit("lang"))
+            reason.when(~lang_ok, F.lit("lang"))
             .when(~oov_ok, F.lit("oov"))
             .when(~ppl_ok, F.lit("perplexity"))
             .otherwise(F.lit(None).cast("string")),

@@ -127,6 +127,80 @@ def test_metrics_lineage(spark, arpa_model):
     assert len(m) > 1, "expected multiple partitions in lineage metrics"
 
 
+def test_image_rules_gate(spark, arpa_model):
+    """FilterConfig.image_rules: the decode-free image-metadata gate
+    drops with reason 'image' FIRST; rows passing the gate keep exactly
+    the caption-only pipeline's decision (default image_rules=None stays
+    bit-identical — pinned by every other test in this file)."""
+    from kenlm_spark.data import generate_images
+
+    images = generate_images(spark, n_rows=150, seed=5)
+    # Generated images are 8-16 px raw RGB (bytes_per_pixel exactly 3.0,
+    # aspect <= 2.0): only the resolution floor varies.
+    pipe = QualityFilterPipeline(
+        spark, arpa_model, FilterConfig(image_rules={"min_dim": 12})
+    )
+    rows = pipe.run(images).collect()
+    base = {
+        r["image_id"]: r.asDict()
+        for r in QualityFilterPipeline(spark, arpa_model)
+        .run(images)
+        .collect()
+    }
+    n_gated = 0
+    for r in rows:
+        b = base[r["image_id"]]
+        ok = min(r["w"], r["h"]) >= 12
+        assert r["image_pass"] == ok, r["image_id"]
+        if ok:
+            assert r["drop_reason"] == b["drop_reason"], r["image_id"]
+            assert r["keep"] == b["keep"], r["image_id"]
+        else:
+            assert r["drop_reason"] == "image" and not r["keep"], r["image_id"]
+            n_gated += 1
+    assert 0 < n_gated < len(rows)
+
+
+def test_image_quality_rules_unit(spark):
+    """Each image rule fires independently (incl. the byte-ceiling the
+    synthetic corpus can't reach)."""
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.filtering.image_quality import (
+        image_metric_exprs,
+        image_pass_expr,
+    )
+
+    rows = [
+        ("ok", 100, 100, "png", b"\x00" * 1000),
+        ("small", 100, 32, "png", b"\x00" * 1000),
+        ("wide", 500, 100, "png", b"\x00" * 5000),
+        ("thin", 1000, 1000, "png", b"\x00" * 100),
+        ("fat", 64, 64, "png", b"\x00" * (64 * 64 * 33)),
+        ("fmt", 100, 100, "tiff", b"\x00" * 1000),
+        ("fmt_case", 100, 100, "PNG", b"\x00" * 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, bytes binary"
+    )
+    m = image_metric_exprs()
+    got = {
+        r["image_id"]: r["p"]
+        for r in df.select(
+            "image_id", image_pass_expr(m).alias("p")
+        ).collect()
+    }
+    assert got == {
+        "ok": True,
+        "small": False,
+        "wide": False,
+        "thin": False,
+        "fat": False,
+        "fmt": False,
+        "fmt_case": True,
+    }
+
+
 def test_run_observed_single_pass_matches_recompute(spark, arpa_model):
     """run_observed's zero-extra-scan rollup (df.observe) must equal the
     audit path's per-partition metrics() summed — same definitions, one
