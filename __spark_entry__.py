@@ -1074,6 +1074,27 @@ def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (r6, Xie et al. 2023): hashed {1,2}-gram
+    importance weights of every raw document against a target-domain
+    sample (doc_id % 7 == 0 plays the target). The log-ratio table is
+    ≤8192 rows and broadcast; the only corpus-scale shuffle is the
+    per-doc sum. selected = looks more target-like than raw-like."""
+    from kenlm_spark.operators.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    w = dsir_log_weights(raw, target, "doc_id", "text")
+    lw = F.round("log_w", 6)
+    return w.select(
+        F.col("id").alias("doc_id"),
+        "n_feats",
+        lw.alias("log_w"),
+        (lw > F.lit(0.0)).alias("selected"),
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1420,11 +1441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; queries outside the window must be unchanged AND hash-green
     # in the previous round's driver record; unsampled-last-round queries
     # rotate back in.  r6 window = the 16 queries r5 did not sample
-    # (all green in r4 + re-verified locally) + the 18 r6-touched/new
+    # (all green in r4 + re-verified locally) + the 19 r6-touched/new
     # queries (passage/contamination/curation/IVF-PQ rewrites, every
     # scorer-path query — now on the compiled kernel — and the new
-    # q_filter_metrics + q_image_quality) + 16 fill; the 18 rotated out
-    # are untouched and r5-hash-green.
+    # q_filter_metrics + q_image_quality + q_dsir_weights) + 15 fill; the
+    # 19 rotated out are untouched and r5-hash-green.
     return {
         # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
@@ -1463,7 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keep_drop_join": q_keep_drop_join,
         "q_filter_metrics": q_filter_metrics,  # NEW r6 (observed-metrics twin)
         "q_image_quality": q_image_quality,  # NEW r6 (image-payload gate)
-        # --- window fill (16)
+        "q_dsir_weights": q_dsir_weights,  # NEW r6 (importance resampling)
+        # --- window fill (15)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
@@ -1479,9 +1501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_canonical": q_dedup_canonical,
         "q_similarity_ivf": q_similarity_ivf,
         "q_langid": q_langid,
-        "q_scrub": q_scrub,
         # --- outside the 50-window: untouched this round, hash-green in
         # the r5 driver record (CORRECTNESS_r05.json)
+        "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
         "q_filter_vocab_multiple": q_filter_vocab_multiple,
@@ -1741,6 +1763,11 @@ SELECT doc_id,
 FROM img
 """
         )(),
+        "q_dsir_weights": __import__(
+            "kenlm_spark.operators.dsir", fromlist=["x"]
+        ).dsir_weights_sql(
+            "documents", "id % 7 = 0", "id % 7 <> 0", "doc_id", "text"
+        ),
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

@@ -1,0 +1,216 @@
+"""Data Selection via Importance Resampling (DSIR) — hashed n-gram
+importance weights for targeted training-data selection.
+
+Method (public: Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling", NeurIPS): featurize each document as a bag
+of hashed word {1,2}-grams over ``n_buckets`` buckets, fit two unigram
+bucket distributions — one on a target-domain sample, one on the raw
+corpus — with add-one smoothing, and weight each raw document by its
+log importance ratio ``log w(x) = Σ_b c_x[b]·(ln p_target[b] −
+ln p_raw[b])``. Documents with ``log w > 0`` look more target-like than
+raw-like; top-k / resampling by weight selects a target-shaped subset of
+a web-scale corpus.
+
+Spark-first design (100-TB shape):
+
+* Featurization is one projection: normalize → split → concat(unigrams,
+  bigrams). Bucketing (``h60(feat) % B``) happens AFTER the explode as a
+  plain column expression, never inside a lambda (HOF lambdas are
+  allocation-bound — round-1 lesson).
+* Both bucket histograms are ``groupBy(bucket).count()`` — partial
+  (map-side) aggregation absorbs hot buckets (stopword n-grams are the
+  hottest keys in any crawl), and the result is at most ``n_buckets``
+  rows regardless of corpus size.
+* The log-ratio table is ≤ ``n_buckets`` rows (default 8192 ≈ 128 KiB)
+  and is **broadcast** into the per-document scoring join — the only
+  shuffle that scales with the corpus is the final ``groupBy(id)`` sum,
+  whose payload is (id, double).
+* ``dsir_topk`` uses ``orderBy(...).limit(k)`` which Spark plans as
+  TakeOrderedAndProject — per-partition partial top-k plus a single
+  driver merge, NOT a global sort shuffle.
+
+The reference (a text-only LM toolkit) has no analog; this operator is
+additive per the task's training-data-pipeline requirement. A DuckDB
+twin (``dsir_weights_sql``) makes the whole path oracle-checkable: every
+value is integer counts, one add-one-smoothed division, and ``ln`` —
+identical expression shapes on both engines, with the per-document sum
+rounded at 6 decimals on both sides (multi-row double sums are
+order-dependent; round-1 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kenlm_spark.operators.dedup import _h60_sql, _norm_sql, h60, norm_text
+
+#: Default hash-feature space size (the DSIR paper uses 10k; a power of
+#: two keeps the modulo cheap).
+N_BUCKETS = 8192
+
+
+def dsir_features(text_col: Column | str) -> Column:
+    """array<string> of word unigrams + bigrams of the normalized text.
+
+    Unigrams contain no spaces and bigrams are space-joined, so the two
+    orders cannot collide as hash inputs. Empty documents yield an empty
+    array (they get weight 0 via the left join in
+    :func:`dsir_log_weights`, not a polluted '' feature).
+    """
+    toks = F.array_remove(F.split(norm_text(text_col), " "), "")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucketed(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """(id, bucket) — one row per feature occurrence (NOT distinct:
+    importance weights count repetitions). h60 is non-negative (60-bit),
+    so plain ``%`` matches DuckDB's signed modulo."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(dsir_features(text_col)).alias("f")
+    ).select("id", (h60(F.col("f")) % n_buckets).alias("bucket"))
+
+
+def bucket_logratio(
+    target_buckets: DataFrame, raw_buckets: DataFrame, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """(bucket, lr): add-one-smoothed log importance ratio per bucket,
+    ``ln p_target[b] − ln p_raw[b]``. At most ``n_buckets`` rows —
+    broadcastable at any corpus size."""
+    tcnt = target_buckets.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("tc")
+    )
+    rcnt = raw_buckets.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("rc")
+    )
+    ttot = tcnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"))
+    rtot = rcnt.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r_total"))
+    b = F.lit(n_buckets)
+    return (
+        tcnt.join(rcnt, "bucket", "full")
+        .crossJoin(ttot)
+        .crossJoin(rtot)
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + F.lit(1.0)) / (F.col("t_total") + b))
+                - F.log((F.coalesce("rc", F.lit(0)) + F.lit(1.0)) / (F.col("r_total") + b))
+            ).alias("lr"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, n_feats, log_w) per raw document.
+
+    ``raw_df`` is the corpus being weighted (it also defines the raw
+    distribution, as in the paper's n_raw >> n_target regime);
+    ``target_df`` is the target-domain sample. Documents with no
+    features (empty text) get n_feats 0 / log_w 0.0 via the left join.
+    """
+    raw_b = _bucketed(raw_df, id_col, text_col, n_buckets)
+    tgt_b = _bucketed(target_df, id_col, text_col, n_buckets)
+    ratio = bucket_logratio(tgt_b, raw_b.select("bucket"), n_buckets)
+    w = (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lr").alias("log_w"),
+        )
+    )
+    ids = raw_df.select(F.col(id_col).alias("id"))
+    return ids.join(w, "id", "left").select(
+        "id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+    )
+
+
+def dsir_topk(weights: DataFrame, k: int) -> DataFrame:
+    """Top-k selection by weight (ties broken by id for determinism).
+
+    ``orderBy().limit()`` plans as TakeOrderedAndProject: each partition
+    keeps its local top-k and the driver merges — no global sort shuffle,
+    so this holds at 100 TB for any k that fits the driver (for
+    corpus-sized selections use a threshold from
+    ``F.percentile`` / a sampled quantile instead)."""
+    return weights.orderBy(F.desc("log_w"), F.asc("id")).limit(k)
+
+
+# ----------------------------------------------------------------- SQL twin
+
+
+def dsir_weights_sql(
+    table: str = "documents",
+    target_where: str = "id % 7 = 0",
+    raw_where: str = "id % 7 <> 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_log_weights` (rounded at 6 decimals +
+    the ``selected`` flag, matching the q_dsir_weights query shape).
+
+    ``target_where`` / ``raw_where`` are predicates over the fixed alias
+    ``id`` (the id column is exposed as ``id`` in every scope they are
+    spliced into) — a pre-qualified contract instead of the string-
+    substitution the r5 ADVICE flagged in contamination_check_sql."""
+    toks = (
+        f"list_filter(regexp_split_to_array({_norm_sql(text_col)}, ' '),"
+        " t -> t <> '')"
+    )
+    return f"""
+WITH feats AS (
+  SELECT id,
+         list_concat(tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(generate_series(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS fs
+  FROM (SELECT {id_col} AS id, {toks} AS tk FROM {table}) t
+),
+ex AS (
+  SELECT id, {_h60_sql('f')} % {n_buckets} AS bucket
+  FROM feats, unnest(fs) AS u(f)
+),
+tcnt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+  FROM ex WHERE {target_where} GROUP BY 1
+),
+rcnt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS rc
+  FROM ex WHERE {raw_where} GROUP BY 1
+),
+ratio AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         ln((coalesce(t.tc, 0) + 1.0)
+            / ((SELECT coalesce(CAST(sum(tc) AS BIGINT), 0) FROM tcnt) + {n_buckets}))
+       - ln((coalesce(r.rc, 0) + 1.0)
+            / ((SELECT coalesce(CAST(sum(rc) AS BIGINT), 0) FROM rcnt) + {n_buckets}))
+           AS lr
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
+),
+w AS (
+  SELECT ex.id, CAST(count(*) AS BIGINT) AS n_feats, sum(r.lr) AS log_w
+  FROM (SELECT * FROM ex WHERE {raw_where}) ex JOIN ratio r ON ex.bucket = r.bucket
+  GROUP BY 1
+)
+SELECT d.id AS doc_id,
+       coalesce(w.n_feats, 0) AS n_feats,
+       round(coalesce(w.log_w, 0.0), 6) AS log_w,
+       round(coalesce(w.log_w, 0.0), 6) > 0.0 AS selected
+FROM (SELECT id FROM (SELECT {id_col} AS id FROM {table}) b WHERE {raw_where}) d
+LEFT JOIN w ON d.id = w.id
+"""
