@@ -31,6 +31,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-ppl", type=float, default=1e5)
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--stupid-backoff", action="store_true")
+    p.add_argument(
+        "--image-rules",
+        default=None,
+        help="JSON dict of image-metadata gate thresholds (see "
+        "filtering.image_quality.DEFAULTS; '{}' enables the defaults). "
+        "Omit to keep the caption-only decision.",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         max_perplexity=args.max_ppl,
         salt_buckets=args.salt_buckets,
         stupid_backoff=args.stupid_backoff,
+        image_rules=(
+            None if args.image_rules is None else json.loads(args.image_rules)
+        ),
     )
     pipe = QualityFilterPipeline(spark, model, cfg)
     images = spark.read.parquet(args.input)

@@ -201,6 +201,39 @@ def test_image_quality_rules_unit(spark):
     }
 
 
+def test_image_rules_gate_stream_matches_batch(spark, arpa_model, tmp_path):
+    """The image gate is Catalyst-only, so it must run UNCHANGED on a
+    streaming DataFrame: filtered_captions_stream with image_rules ==
+    the batch pipeline row for row (keep, drop_reason incl. 'image')."""
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.streaming.jobs import (
+        filtered_captions_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "imgs")
+    generate_images(spark, n_rows=120, seed=7).write.parquet(src)
+    cfg = FilterConfig(image_rules={"min_dim": 12})
+
+    stream = filtered_captions_stream(spark, src, arpa_model, cfg)
+    got = {
+        r["image_id"]: (r["keep"], r["drop_reason"])
+        for r in run_available_now(
+            stream.select("image_id", "keep", "drop_reason"),
+            "img_gate_stream_t",
+        )
+    }
+    want = {
+        r["image_id"]: (r["keep"], r["drop_reason"])
+        for r in QualityFilterPipeline(spark, arpa_model, cfg)
+        .run(spark.read.parquet(src))
+        .select("image_id", "keep", "drop_reason")
+        .collect()
+    }
+    assert got == want and len(got) == 120
+    assert any(v[1] == "image" for v in got.values())
+
+
 def test_run_observed_single_pass_matches_recompute(spark, arpa_model):
     """run_observed's zero-extra-scan rollup (df.observe) must equal the
     audit path's per-partition metrics() summed — same definitions, one
@@ -362,3 +395,18 @@ def test_run_filter_job_cli(spark, tmp_path):
     assert rc == 0
     out = QualityFilterPipeline.latest_snapshot(spark, str(tmp_path / "out"))
     assert out.count() == 50
+
+    # --image-rules threads the JSON thresholds through to the gate.
+    rc = main(
+        [
+            "--input", inp,
+            "--output", str(tmp_path / "out2"),
+            "--arpa", "/root/repo/tests/fixtures/test.arpa",
+            "--image-rules", '{"min_dim": 12}',
+        ]
+    )
+    assert rc == 0
+    out2 = QualityFilterPipeline.latest_snapshot(spark, str(tmp_path / "out2"))
+    gated = out2.filter("drop_reason = 'image'").count()
+    small = out2.filter("least(w, h) < 12").count()
+    assert gated == small and gated > 0
