@@ -1095,6 +1095,47 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning (r6; Wenzek et al. 2020):
+    bucket every document head/middle/tail by LM log10-perplexity
+    (fixed thresholds — production uses corpus quantiles; literals keep
+    the decision engine-exact), then deterministically downsample per
+    bucket (head kept, middle 60%, tail 15%) with the hash-threshold
+    decision deterministic_sample uses — map-only after scoring, stable
+    across runs/partitionings/engines. The bucket test runs on the
+    ROUNDED log10_ppl on both engines so the boundary can't flip on a
+    last-ulp scoring difference."""
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+    from kenlm_spark.operators.dedup import h60
+
+    scorer = SparkNGramScorer(spark, _model())
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    lppl = F.round(
+        -F.col("log10_prob") / (F.col("n_tokens") + F.lit(1)), 4
+    )
+    df = df.select("doc_id", lppl.alias("log10_ppl"))
+    bucket = (
+        F.when(F.col("log10_ppl") <= 15.3, F.lit("head"))
+        .when(F.col("log10_ppl") <= 16.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    hmod = F.pmod(
+        h60(F.concat(F.lit("ccnet:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    thr = (
+        F.when(bucket == "head", F.lit(1_000_000))
+        .when(bucket == "middle", F.lit(600_000))
+        .otherwise(F.lit(150_000))
+    )
+    return df.select(
+        "doc_id",
+        "log10_ppl",
+        bucket.alias("ppl_bucket"),
+        (hmod < thr).alias("sampled"),
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1441,11 +1482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; queries outside the window must be unchanged AND hash-green
     # in the previous round's driver record; unsampled-last-round queries
     # rotate back in.  r6 window = the 16 queries r5 did not sample
-    # (all green in r4 + re-verified locally) + the 19 r6-touched/new
+    # (all green in r4 + re-verified locally) + the 20 r6-touched/new
     # queries (passage/contamination/curation/IVF-PQ rewrites, every
     # scorer-path query — now on the compiled kernel — and the new
-    # q_filter_metrics + q_image_quality + q_dsir_weights) + 15 fill; the
-    # 19 rotated out are untouched and r5-hash-green.
+    # q_filter_metrics + q_image_quality + q_dsir_weights +
+    # q_ccnet_buckets) + 14 fill; the 20 rotated out are untouched and
+    # r5-hash-green.
     return {
         # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
@@ -1485,7 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_metrics": q_filter_metrics,  # NEW r6 (observed-metrics twin)
         "q_image_quality": q_image_quality,  # NEW r6 (image-payload gate)
         "q_dsir_weights": q_dsir_weights,  # NEW r6 (importance resampling)
-        # --- window fill (15)
+        "q_ccnet_buckets": q_ccnet_buckets,  # NEW r6 (ppl partitioning)
+        # --- window fill (14)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
@@ -1500,9 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_components": q_dedup_components,
         "q_dedup_canonical": q_dedup_canonical,
         "q_similarity_ivf": q_similarity_ivf,
-        "q_langid": q_langid,
         # --- outside the 50-window: untouched this round, hash-green in
         # the r5 driver record (CORRECTNESS_r05.json)
+        "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
         "q_quality_filter": q_quality_filter,
@@ -1768,6 +1811,23 @@ FROM img
         ).dsir_weights_sql(
             "documents", "id % 7 = 0", "id % 7 <> 0", "doc_id", "text"
         ),
+        "q_ccnet_buckets": f"""
+WITH s AS ({score_raw}),
+b AS (
+  SELECT doc_id,
+         round(-log10_prob_raw / (n_tokens + 1), 4) AS log10_ppl
+  FROM s
+)
+SELECT doc_id, log10_ppl,
+       CASE WHEN log10_ppl <= 15.3 THEN 'head'
+            WHEN log10_ppl <= 16.0 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       ({dedup._h60_sql("'ccnet:' || CAST(doc_id AS VARCHAR)")} % 1000000) <
+       CASE WHEN log10_ppl <= 15.3 THEN 1000000
+            WHEN log10_ppl <= 16.0 THEN 600000
+            ELSE 150000 END AS sampled
+FROM b
+""",
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (
