@@ -327,8 +327,13 @@ class QualityFilterPipeline:
 
         Data lands in ``root/data/<snapshot_id>/`` first; the manifest is
         written last, so a snapshot is visible only when complete (the same
-        visibility contract as an Iceberg snapshot commit).
+        visibility contract as an Iceberg snapshot commit). Each manifest
+        records ``parent_snapshot_id`` (the latest complete snapshot at
+        commit time, or None for the first) — the same lineage chain an
+        Iceberg table keeps, so an audit can walk every resume step back
+        to the initial run.
         """
+        parent = QualityFilterPipeline._latest_manifest(root)
         snapshot_id = run_id or f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(root, "data", snapshot_id)
         df.write.mode("overwrite").parquet(data_path)
@@ -336,6 +341,7 @@ class QualityFilterPipeline:
             "snapshot_id": snapshot_id,
             "data_path": data_path,
             "committed_at": time.time(),
+            "parent_snapshot_id": parent["snapshot_id"] if parent else None,
         }
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         tmp = os.path.join(root, "manifests", f".{snapshot_id}.tmp")
@@ -346,7 +352,7 @@ class QualityFilterPipeline:
         return snapshot_id
 
     @staticmethod
-    def latest_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
+    def _latest_manifest(root: str) -> dict | None:
         mdir = os.path.join(root, "manifests")
         if not os.path.isdir(mdir):
             return None
@@ -362,7 +368,38 @@ class QualityFilterPipeline:
                 m = json.load(fh)
             if latest is None or m["committed_at"] > latest["committed_at"]:
                 latest = m
+        return latest
+
+    @staticmethod
+    def latest_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
+        latest = QualityFilterPipeline._latest_manifest(root)
+        if latest is None:
+            return None
         return spark.read.parquet(latest["data_path"])
+
+    @staticmethod
+    def snapshot_lineage(root: str) -> list[dict]:
+        """The manifest chain from the latest snapshot back to the first
+        (each entry links ``parent_snapshot_id``): the audit record of
+        every resume. Pre-lineage manifests (no parent field) terminate
+        the walk the same way a None parent does."""
+        mdir = os.path.join(root, "manifests")
+        if not os.path.isdir(mdir):
+            return []
+        by_id = {}
+        for p in os.listdir(mdir):
+            if p.endswith(".json"):
+                with open(os.path.join(mdir, p)) as fh:
+                    m = json.load(fh)
+                by_id[m["snapshot_id"]] = m
+        chain = []
+        cur = QualityFilterPipeline._latest_manifest(root)
+        while cur is not None and cur["snapshot_id"] not in {
+            c["snapshot_id"] for c in chain
+        }:
+            chain.append(cur)
+            cur = by_id.get(cur.get("parent_snapshot_id"))
+        return chain
 
     def run_resumable(
         self, images: DataFrame, checkpoint_root: str, text_col: str = "caption"

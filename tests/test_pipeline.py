@@ -313,6 +313,13 @@ def test_snapshot_resume(spark, arpa_model, tmp_path):
     assert again.count() == 120
     assert again.select("image_id").distinct().count() == 120
 
+    # Lineage chain: second snapshot records the first as its parent;
+    # the walk terminates at the initial (parentless) snapshot.
+    chain = QualityFilterPipeline.snapshot_lineage(root)
+    assert len(chain) == 2
+    assert chain[0]["parent_snapshot_id"] == chain[1]["snapshot_id"]
+    assert chain[1]["parent_snapshot_id"] is None
+
 
 def test_long_caption_skew_bounded(spark, arpa_model):
     # Very long captions (>512 tokens) must not break or stall batches.
