@@ -70,9 +70,15 @@ def dsir_features(text_col: Column | str) -> Column:
 def _bucketed(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
     """(id, bucket) — one row per feature occurrence (NOT distinct:
     importance weights count repetitions). h60 is non-negative (60-bit),
-    so plain ``%`` matches DuckDB's signed modulo."""
+    so plain ``%`` matches DuckDB's signed modulo.
+
+    ``explode_outer`` keeps featureless (empty-text) docs as a single
+    null-bucket row: the scoring pass can then produce a weight for
+    EVERY doc in one corpus scan, with no separate ids scan + join-back
+    (histogram builders must filter the null bucket out)."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(dsir_features(text_col)).alias("f")
+        F.col(id_col).alias("id"),
+        F.explode_outer(dsir_features(text_col)).alias("f"),
     ).select("id", (h60(F.col("f")) % n_buckets).alias("bucket"))
 
 
@@ -121,20 +127,23 @@ def dsir_log_weights(
     """
     raw_b = _bucketed(raw_df, id_col, text_col, n_buckets)
     tgt_b = _bucketed(target_df, id_col, text_col, n_buckets)
-    ratio = bucket_logratio(tgt_b, raw_b.select("bucket"), n_buckets)
-    w = (
-        raw_b.join(F.broadcast(ratio), "bucket")
+    not_null = F.col("bucket").isNotNull()
+    ratio = bucket_logratio(
+        tgt_b.filter(not_null), raw_b.filter(not_null).select("bucket"), n_buckets
+    )
+    # Left join: the null bucket of featureless docs matches no ratio row
+    # (lr stays null), so count(lr)/sum(lr) give n_feats 0 / log_w 0.0
+    # for them — every doc is weighted in ONE corpus pass, no ids
+    # join-back (the histogram is the only other corpus scan; at
+    # production scale persist the ≤n_buckets ratio table and scoring is
+    # a single pass).
+    return (
+        raw_b.join(F.broadcast(ratio), "bucket", "left")
         .groupBy("id")
         .agg(
-            F.count("*").cast("long").alias("n_feats"),
-            F.sum("lr").alias("log_w"),
+            F.count("lr").cast("long").alias("n_feats"),
+            F.coalesce(F.sum("lr"), F.lit(0.0)).alias("log_w"),
         )
-    )
-    ids = raw_df.select(F.col(id_col).alias("id"))
-    return ids.join(w, "id", "left").select(
-        "id",
-        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-        F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
     )
 
 

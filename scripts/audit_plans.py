@@ -64,6 +64,8 @@ def main() -> None:
         "q_dedup_passages (skew-safe hash-groupBy first-occurrence, r6)": em.q_dedup_passages(spark, sf),
         "q_contamination (one-shuffle stream-static shape, r5)": em.q_contamination(spark, sf),
         "q_corpus_curation (composed curation DAG, r5; spine restructure r6)": em.q_corpus_curation(spark, sf),
+        "q_dsir_weights (broadcast log-ratio scoring join, r6)": em.q_dsir_weights(spark, sf),
+        "q_ccnet_buckets (map-only after one scorer crossing, r6)": em.q_ccnet_buckets(spark, sf),
     }
 
     lines = [
@@ -104,6 +106,23 @@ def main() -> None:
                     f"{name}: expected exactly 1 parquet scan, "
                     f"got {s['scan_parquet']}"
                 )
+        if name.startswith("q_dsir_weights"):
+            # the ≤n_buckets log-ratio table must broadcast into the
+            # per-doc scoring join — a sort-merge there would shuffle the
+            # whole exploded feature stream against an 8192-row side.
+            if s["broadcast_hash_join"] < 1:
+                failures.append(
+                    f"{name}: expected the log-ratio scoring join to "
+                    f"broadcast, got {s['broadcast_hash_join']} BHJ"
+                )
+        if name.startswith("q_ccnet_buckets"):
+            # bucketing + sampling are pure projections over the scored
+            # stream: exactly one Arrow crossing, one corpus scan.
+            if s["arrow_eval_python"] != 1 or s["scan_parquet"] != 1:
+                failures.append(
+                    f"{name}: expected 1 ArrowEvalPython / 1 scan, got "
+                    f"{s['arrow_eval_python']} / {s['scan_parquet']}"
+                )
         if name.startswith("q_keep_drop_join"):
             # distributed-model pipeline: one Arrow crossing (the key-chain
             # mapInPandas), no row-at-a-time Python, docs scanned twice by
@@ -136,6 +155,15 @@ def main() -> None:
         "  6→5 scans, still exactly 1 ArrowEvalPython and 0 SMJ;",
         "  no-broadcast 13→11 exchanges, 4→3 SMJs. Hash-green at both SFs",
         "  after the restructure (same oracle SQL).",
+        "- **q_dsir_weights (r6):** corpus-scale legs are 2 scans (bucket",
+        "  histogram + scoring) with the ≤8192-row log-ratio table",
+        "  BROADCAST into the scoring join and explode_outer keeping",
+        "  featureless docs in the same pass (no ids scan + join-back —",
+        "  that shape cost a 3rd scan and a corpus-keyed SMJ). The one",
+        "  remaining SMJ is tcnt⟗rcnt: a full outer join of two",
+        "  n_buckets-bounded aggregates — independent of corpus size.",
+        "  At production scale the ratio table is persisted as a model",
+        "  artifact and scoring is a single corpus pass.",
         "- **q_dedup_passages first-occurrence pass (r6, closes the r5",
         "  'What's wrong #1' skew flag):** the Window.partitionBy(raw",
         "  passage string) + row_number formulation is replaced by",
