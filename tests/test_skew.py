@@ -180,3 +180,49 @@ def test_empty_text_storm(spark):
     assert cont.count() == n_empty + n_real
     # empty docs emit the [""] sentinel shingle, which must not match
     assert cont.filter(F.col("doc_id") == 7).first()["contaminated"] is False
+
+
+def test_dsir_hot_bucket_stopword_storm(spark):
+    """DSIR under the Zipf head: one stopword bigram in 100k of 110k
+    docs.  The bucket histogram partial-aggregates the hot bucket
+    map-side and the scoring join is a broadcast against the
+    n_buckets-bounded ratio table, so no reducer sees the hot key
+    materialized.  Correctness: the rare target-like docs still
+    outweigh the boilerplate."""
+    from kenlm_spark.operators.dsir import dsir_log_weights
+
+    n, n_hot = 110_000, 100_000
+    raw = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_hot,
+            F.lit("click here click here click here"),
+        )
+        .otherwise(F.lit("patient dose trial clinical outcome"))
+        .alias("text"),
+    )
+    target = spark.range(50).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("patient dose trial clinical outcome").alias("text"),
+    )
+    skew_wall = _wall(dsir_log_weights(raw, target))
+
+    uniform = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word"), (F.col("id") % 50_000).cast("string")).alias(
+            "text"
+        ),
+    )
+    uni_wall = _wall(dsir_log_weights(uniform, target))
+    assert skew_wall < max(4 * uni_wall, 10.0), (skew_wall, uni_wall)
+
+    w = dsir_log_weights(raw, target)
+    agg = (
+        w.withColumn("is_med", F.col("id") >= n_hot)
+        .groupBy("is_med")
+        .agg(F.min("log_w").alias("lo"), F.max("log_w").alias("hi"))
+        .collect()
+    )
+    by = {r["is_med"]: r for r in agg}
+    # every target-like doc outweighs every boilerplate doc
+    assert by[True]["lo"] > by[False]["hi"]
