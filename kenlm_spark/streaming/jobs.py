@@ -149,7 +149,8 @@ def observe_filter_metrics(
             F.sum(
                 (F.col("drop_reason") == F.lit(r)).cast("long")
             ).alias(f"n_drop_{r}")
-            for r in ("quality", "lang", "oov", "perplexity")
+            # 'image' counts 0 unless FilterConfig.image_rules is set
+            for r in ("image", "quality", "lang", "oov", "perplexity")
         ]
     return df.observe(name, *exprs)
 

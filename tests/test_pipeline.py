@@ -286,14 +286,15 @@ def test_streaming_observed_metrics_match_batch(spark, arpa_model, tmp_path):
             F.sum((F.col("drop_reason") == F.lit(r)).cast("long")).alias(
                 f"n_drop_{r}"
             )
-            for r in ("quality", "lang", "oov", "perplexity")
+            for r in ("image", "quality", "lang", "oov", "perplexity")
         ],
     ).collect()[0]
     assert totals == want.asDict()
+    assert totals["n_drop_image"] == 0  # image_rules off in this config
     assert totals["n_rows"] == 150
     assert totals["n_drop"] == sum(
         totals[f"n_drop_{r}"]
-        for r in ("quality", "lang", "oov", "perplexity")
+        for r in ("image", "quality", "lang", "oov", "perplexity")
     )
 
 
