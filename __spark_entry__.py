@@ -1136,6 +1136,65 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) with planted near-duplicate clusters, derived
+    deterministically from doc_id on BOTH engines: a 60-bit md5 base
+    shared by each doc_id%97 cluster, XOR'd with 0/1/2 planted bit
+    flips by doc_id%3 — so in-cluster Hamming distances span 0..4 and
+    cross-cluster pairs are random 60-bit (never within 6).  This is
+    the trusted ``phash:int64`` column of the north-rule input schema;
+    q_multimodal_phash covers COMPUTING it from pixels."""
+    base = F.conv(
+        F.substring(F.md5((F.col("doc_id") % 97).cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # F.shiftleft only takes a literal bit count; the SQL form accepts a
+    # column expression
+    f1 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))")
+    f2 = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST((doc_id + 31) % 60 AS INT))"
+    )
+    flips = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0).cast("long"))
+        .when(F.col("doc_id") % 3 == 1, f1)
+        .otherwise(f1.bitwiseXOR(f2))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", base.bitwiseXOR(flips).alias("phash")
+    )
+
+
+_PHASH_COLUMN_SQL = """
+SELECT doc_id,
+       xor(CAST('0x' || substring(md5(CAST(doc_id % 97 AS VARCHAR)), 1, 15)
+                AS BIGINT),
+           CASE
+             WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+             WHEN doc_id % 3 = 1
+               THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+             ELSE xor(
+               (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)),
+               (CAST(1 AS BIGINT) << CAST((doc_id + 31) % 60 AS INT)))
+           END) AS phash
+FROM documents
+"""
+
+
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate dedup over the TRUSTED phash:int64 column of
+    the north-rule input schema (r6) — no pixel decode: banded bucket
+    self-join (pigeonhole-exact recall at Hamming<=6) + exact popcount
+    verify + greedy smaller-id-wins keep labels.  The image-modality
+    twin of q_dedup_simhash_pairs, and the cheap tier that removes
+    re-crawled/resized copies of the same image before any caption work."""
+    from kenlm_spark.operators.multimodal import phash_dedup_labels
+
+    return phash_dedup_labels(
+        _phash_column(spark, sf_dir), id_col="doc_id", phash_col="phash"
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1528,7 +1587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_quality": q_image_quality,  # NEW r6 (image-payload gate)
         "q_dsir_weights": q_dsir_weights,  # NEW r6 (importance resampling)
         "q_ccnet_buckets": q_ccnet_buckets,  # NEW r6 (ppl partitioning)
-        # --- window fill (14)
+        "q_dedup_phash": q_dedup_phash,  # NEW r6 (image phash near-dup)
+        # --- window fill (13; q_word_freq rotated out for q_dedup_phash —
+        # untouched since r1, hash-green in CORRECTNESS_r05.json)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
@@ -1536,7 +1597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_windows_3": q_lm_windows_3,
         "q_ngram_count_2": q_ngram_count_2,
         "q_ngram_count_3": q_ngram_count_3,
-        "q_word_freq": q_word_freq,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
         "q_dedup_minhash": q_dedup_minhash,
@@ -1545,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": q_similarity_ivf,
         # --- outside the 50-window: untouched this round, hash-green in
         # the r5 driver record (CORRECTNESS_r05.json)
+        "q_word_freq": q_word_freq,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -1828,6 +1889,18 @@ SELECT doc_id, log10_ppl,
             ELSE 150000 END AS sampled
 FROM b
 """,
+        "q_dedup_phash": (
+            lambda mm=__import__(
+                "kenlm_spark.operators.multimodal", fromlist=["x"]
+            ): f"""
+WITH img AS ({_PHASH_COLUMN_SQL.strip()}),
+pairs AS ({mm.phash_near_pairs_sql('img', 'doc_id', 'phash').strip()}),
+dropped AS (SELECT DISTINCT id_b FROM pairs)
+SELECT doc_id, phash,
+       doc_id NOT IN (SELECT id_b FROM dropped) AS keep
+FROM img
+"""
+        )(),
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

@@ -365,11 +365,14 @@ def phash_near_pairs(
     for b in range(n_bands):
         shift = b * width
         w = width if b < n_bands - 1 else 64 - shift
+        # bands are built over the renamed "ph" column (the projection
+        # below), not phash_col — referencing the caller's name here
+        # breaks for any phash_col != "ph"
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band"),
                 F.shiftrightunsigned(
-                    F.col(phash_col), shift
+                    F.col("ph"), shift
                 ).bitwiseAND(F.lit((1 << w) - 1)).alias("bucket"),
             )
         )
@@ -407,3 +410,75 @@ def phash_near_pairs(
     return pairs.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_near_pairs_sql(
+    table: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int = 2000,
+) -> str:
+    """DuckDB twin of :func:`phash_near_pairs` — identical banding
+    (``max_hamming + 1`` bands, remainder bits in the LAST band), the
+    same ``2 <= bucket size <= max_bucket`` guard, and the same exact
+    popcount verify.  ``table`` may be a CTE name.  Assumes non-negative
+    phash values (arithmetic ``>>`` == the Spark side's unsigned shift);
+    the engine's synthesized 60-bit hashes satisfy this by construction.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    band_rows = []
+    for b in range(n_bands):
+        shift = b * width
+        w = width if b < n_bands - 1 else 64 - shift
+        band_rows.append(
+            f"SELECT {id_col} AS id, {phash_col} AS ph, {b} AS band, "
+            f"({phash_col} >> {shift}) & {(1 << w) - 1} AS bucket "
+            f"FROM {table}"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH _pb AS ({bands}),
+_ps AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS _n FROM _pb
+),
+_pf AS (SELECT * FROM _ps WHERE _n > 1 AND _n <= {max_bucket})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+FROM _pf a JOIN _pf b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+"""
+
+
+def phash_dedup_labels(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Per-image keep/drop labels from phash Hamming near-duplicates:
+    drop every image that has a near-duplicate with a smaller id (the
+    standard greedy LSH-dedup rule — deterministic, one pass; in a chain
+    a<b<c with b~a, c~b, c!~a it over-drops c, which is the accepted
+    trade-off vs an iterative connected-components pass, available
+    separately as ``dedup.dedup_components``).
+
+    Scale shape: the banded self-join is the only corpus-size shuffle
+    (band buckets are bounded by ``max_bucket``); the dropped-id set is
+    pair-bounded and broadcasts back onto the spine, so the label join
+    is exchange-free on the corpus side.
+    """
+    pairs = phash_near_pairs(df, id_col, phash_col, max_hamming, max_bucket)
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return df.join(F.broadcast(dropped), id_col, "left").select(
+        id_col,
+        phash_col,
+        F.col("_dup").isNull().alias("keep"),
+    )
