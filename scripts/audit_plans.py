@@ -66,6 +66,7 @@ def main() -> None:
         "q_corpus_curation (composed curation DAG, r5; spine restructure r6)": em.q_corpus_curation(spark, sf),
         "q_dsir_weights (broadcast log-ratio scoring join, r6)": em.q_dsir_weights(spark, sf),
         "q_ccnet_buckets (map-only after one scorer crossing, r6)": em.q_ccnet_buckets(spark, sf),
+        "q_dedup_phash (banded Hamming join + broadcast labels, r6)": em.q_dedup_phash(spark, sf),
     }
 
     lines = [
@@ -123,6 +124,17 @@ def main() -> None:
                     f"{name}: expected 1 ArrowEvalPython / 1 scan, got "
                     f"{s['arrow_eval_python']} / {s['scan_parquet']}"
                 )
+        if name.startswith("q_dedup_phash"):
+            # candidate generation must stay banded (no all-pairs SMJ)
+            # and the pair-bounded dropped set must broadcast back onto
+            # the spine — a sort-merge label join would shuffle the
+            # whole corpus to mark a handful of drops.
+            if s["sort_merge_join"] != 0 or s["broadcast_hash_join"] < 1:
+                failures.append(
+                    f"{name}: expected 0 SMJ and a broadcast label join, "
+                    f"got {s['sort_merge_join']} SMJ / "
+                    f"{s['broadcast_hash_join']} BHJ"
+                )
         if name.startswith("q_keep_drop_join"):
             # distributed-model pipeline: one Arrow crossing (the key-chain
             # mapInPandas), no row-at-a-time Python, docs scanned twice by
@@ -164,6 +176,15 @@ def main() -> None:
         "  n_buckets-bounded aggregates — independent of corpus size.",
         "  At production scale the ratio table is persisted as a model",
         "  artifact and scoring is a single corpus pass.",
+        "- **q_dedup_phash (r6):** the only corpus-scale exchange is the",
+        "  banded (band, bucket) aggregation — the window count and the",
+        "  collect_list share one hash partitioning, and buckets are",
+        "  capped at max_bucket before the list buffer (the minhash r5",
+        "  guard). Pairs and the dropped-id set are candidate-bounded;",
+        "  the keep-label join BROADCASTS the dropped set onto the spine",
+        "  (plan-gated: 0 SMJ). The spine re-scans the 2-int-column input",
+        "  rather than caching a 10^12-row table — columnar scan of",
+        "  (id, phash) is cheaper than materializing the corpus.",
         "- **q_dedup_passages first-occurrence pass (r6, closes the r5",
         "  'What's wrong #1' skew flag):** the Window.partitionBy(raw",
         "  passage string) + row_number formulation is replaced by",
