@@ -1195,6 +1195,20 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r6; Abbas et al. 2023): k-means-cluster the embedding
+    corpus (reusing the IVF coarse quantizer), then inside each cluster
+    drop all but the least-centroid-typical member of every cosine>=tau
+    group. The synthetic embeddings top out near cosine 0.51, so this
+    entry runs tau=0.4 (production near-dup territory is >=0.9); the
+    semantics under test — shared clustering, in-cell pairing, the
+    paper's keep rule — don't depend on the threshold."""
+    from kenlm_spark.operators.semdedup import semdedup_labels
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semdedup_labels(emb, tau=0.4, n_cells=16)
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1588,14 +1602,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,  # NEW r6 (importance resampling)
         "q_ccnet_buckets": q_ccnet_buckets,  # NEW r6 (ppl partitioning)
         "q_dedup_phash": q_dedup_phash,  # NEW r6 (image phash near-dup)
-        # --- window fill (13; q_word_freq rotated out for q_dedup_phash —
-        # untouched since r1, hash-green in CORRECTNESS_r05.json)
+        "q_dedup_semantic": q_dedup_semantic,  # NEW r6 (SemDeDup)
+        # --- window fill (12; q_word_freq and q_ngram_count_2 rotated out
+        # for q_dedup_phash / q_dedup_semantic — both untouched since r1,
+        # hash-green in CORRECTNESS_r05.json)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_lm_windows_3": q_lm_windows_3,
-        "q_ngram_count_2": q_ngram_count_2,
         "q_ngram_count_3": q_ngram_count_3,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
@@ -1606,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- outside the 50-window: untouched this round, hash-green in
         # the r5 driver record (CORRECTNESS_r05.json)
         "q_word_freq": q_word_freq,
+        "q_ngram_count_2": q_ngram_count_2,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -1901,6 +1917,9 @@ SELECT doc_id, phash,
 FROM img
 """
         )(),
+        "q_dedup_semantic": __import__(
+            "kenlm_spark.operators.semdedup", fromlist=["x"]
+        ).semdedup_sql(tau=0.4, n_cells=16),
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

@@ -118,29 +118,32 @@ def assign_cells(
     )
 
 
-def ivf_topk_sql(
-    query_ids: list[int],
-    k: int = 10,
+def _d2_sql(v: str, c: str) -> str:
+    """Squared euclidean distance between two DOUBLE lists (list_sum is a
+    sequential left-to-right fold — the parity contract with the numpy
+    side's dim-sequential accumulation)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({v})), "
+        f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+    )
+
+
+def kmeans_assign_ctes(
     n_cells: int = 8,
-    n_probe: int = 2,
     iters: int = 5,
     sample: int = 4096,
     sample_frac: float = 0.5,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> str:
-    """DuckDB twin of ``ivf_topk``: the deterministic Lloyd training is
+) -> list[str]:
+    """The shared DuckDB k-means pipeline as a CTE list ending in
+    ``assigned(nid, v, cell)`` (and ``cent{iters}(cell, c)`` for callers
+    that need the trained centroids): deterministic Lloyd training
     unrolled as ``iters`` CTE pairs (assign = windowed argmin with cell
-    tie-break, update = per-dimension AVG with empty-cell fallback), then
-    probe + exact re-rank exactly as the Spark side."""
-
-    def d2(v: str, c: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, len({v})), "
-            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
-        )
-
+    tie-break, update = per-dimension AVG with empty-cell fallback),
+    mirroring :func:`train_centroids` + :func:`assign_cells` exactly.
+    Reused by ``ivf_topk_sql`` and ``semdedup.semdedup_sql``."""
     ctes = [
         f"""base AS (
   SELECT {id_col} AS nid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
@@ -166,7 +169,7 @@ def ivf_topk_sql(
   SELECT nid, v, cell FROM (
     SELECT s.nid, s.v, c.cell,
            row_number() OVER (PARTITION BY s.nid
-                              ORDER BY {d2('s.v', 'c.c')}, c.cell) AS rn
+                              ORDER BY {_d2_sql('s.v', 'c.c')}, c.cell) AS rn
     FROM samp s CROSS JOIN cent{t - 1} c
   ) WHERE rn = 1
 )"""
@@ -182,17 +185,39 @@ def ivf_topk_sql(
   ) m ON m.cell = p.cell
 )"""
         )
-    ids = ", ".join(str(i) for i in query_ids)
     ctes.append(
         f"""assigned AS (
   SELECT nid, v, cell FROM (
     SELECT b.nid, b.v, c.cell,
            row_number() OVER (PARTITION BY b.nid
-                              ORDER BY {d2('b.v', 'c.c')}, c.cell) AS rn
+                              ORDER BY {_d2_sql('b.v', 'c.c')}, c.cell) AS rn
     FROM base b CROSS JOIN cent{iters} c
   ) WHERE rn = 1
 )"""
     )
+    return ctes
+
+
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 5,
+    sample: int = 4096,
+    sample_frac: float = 0.5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivf_topk``: shared k-means CTEs
+    (:func:`kmeans_assign_ctes`) then probe + exact re-rank exactly as
+    the Spark side."""
+    d2 = _d2_sql
+    ctes = kmeans_assign_ctes(
+        n_cells, iters, sample, sample_frac, table, id_col, vec_col
+    )
+    ids = ", ".join(str(i) for i in query_ids)
     ctes.append(f"q AS (SELECT nid AS query_id, v AS qv FROM base WHERE nid IN ({ids}))")
     ctes.append(
         f"""probes AS (

@@ -1,0 +1,236 @@
+"""SemDeDup — semantic deduplication over an embedding column
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): k-means cluster the corpus embeddings,
+then inside each cluster drop all but one member of every near-duplicate
+group (pairwise cosine >= tau), keeping the member LEAST similar to its
+cluster centroid (the paper's keep rule — low-typicality examples carry
+the most information; ties break to the smaller id).
+
+Spark-first shape:
+
+* clustering reuses the IVF coarse quantizer (`ivf.train_centroids` —
+  deterministic Lloyd over a hash-threshold sample — and the same
+  argmin assignment), so at production scale the SemDeDup pass shares
+  its index with similarity search.
+* ONE Arrow pass per corpus row computes (cell, unit vector, cosine to
+  own centroid); it is checkpointed, and the candidate self-join
+  shuffles (nid, cell) only — vectors rejoin per side at the verify
+  boundary (the id-only-band lesson from `similarity.embedding_near_dups`).
+* candidate pairs come from cell equality — SemDeDup is exact WITHIN
+  clusters and blind across them by construction (that locality is the
+  point: at 10^12 rows, n_cells scales with the corpus so cells stay
+  bounded; `max_cell` guards degenerate clusters the same way
+  `max_bucket` guards LSH buckets, dropping them from pairing).
+* the dropped-id set is pair-bounded and broadcasts back onto the
+  corpus spine for keep labels — no corpus-keyed shuffle after the
+  cell join.
+
+Cross-engine parity contracts (DuckDB twin `semdedup_sql`): cosine and
+distances accumulate dim-SEQUENTIALLY (`_seq_dot` order == list_sum's
+left fold); both cosines round at 6 before any comparison; argmin ties
+break to the lowest cell; the pair loser is decided on the ROUNDED
+centroid cosine with id tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kenlm_spark.operators.ivf import kmeans_assign_ctes, train_centroids
+from kenlm_spark.operators.similarity import _seq_dot, _seq_sq_norm
+
+
+def semdedup_labels(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    n_cells: int = 8,
+    iters: int = 5,
+    sample: int = 4096,
+    sample_frac: float = 0.5,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """(nid, cell, c_sim, keep) — SemDeDup keep/drop labels.
+
+    ``c_sim`` is the cosine between the unit vector and its cluster's
+    unit centroid (rounded at 6 — the loser-rule input). ``keep`` is
+    false iff some same-cell neighbor with cosine >= ``tau`` beats this
+    row under the paper's rule (the MORE centroid-typical member of a
+    near-dup pair drops; ties drop the larger id).
+    """
+    cent = train_centroids(
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample=sample, sample_frac=sample_frac,
+    )
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(cent, dtype=np.float64))
+
+    def assign_pass(batches):
+        c = bc.value
+        c2 = (c**2).sum(axis=1)
+        cn = c / _seq_sq_norm(c)[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # same distance shape as ivf.assign_cells (argmin ties to
+            # the lowest cell, matching the SQL row_number tie-break)
+            d2 = (X**2).sum(axis=1, keepdims=True) - 2.0 * (X @ c.T) + c2
+            cell = d2.argmin(axis=1).astype("int32")
+            vn = X / _seq_sq_norm(X)[:, None]
+            c_sim = np.round(_seq_dot(vn, cn[cell]), 6)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "vn": [list(map(float, r)) for r in vn],
+                    "cell": cell,
+                    "c_sim": c_sim,
+                }
+            )
+
+    # one corpus pass, checkpointed: the downstream fan-out (cell-size
+    # guard, candidate join, two vector rejoins, label join) re-reads
+    # the materialized (nid, vn, cell, c_sim) instead of re-running
+    # Python — at production scale this is the written cluster index
+    wide = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(
+            assign_pass,
+            "nid long, vn array<double>, cell int, c_sim double",
+        )
+        .localCheckpoint(eager=True)
+    )
+    big = (
+        wide.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cell)
+        .select("cell")
+    )
+    ids = wide.select("nid", "cell").join(big, "cell", "left_anti")
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.nid") < F.col("b.nid")),
+    ).select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+    joined = cand.join(
+        wide.select(
+            F.col("nid").alias("id_a"),
+            F.col("vn").alias("va"),
+            F.col("c_sim").alias("ca"),
+        ),
+        "id_a",
+    ).join(
+        wide.select(
+            F.col("nid").alias("id_b"),
+            F.col("vn").alias("vb"),
+            F.col("c_sim").alias("cb"),
+        ),
+        "id_b",
+    )
+
+    def verify_pass(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.asarray([np.asarray(v) for v in pdf["va"]])
+            vb = np.asarray([np.asarray(v) for v in pdf["vb"]])
+            score = np.round(_seq_dot(va, vb), 6)
+            dup = score >= tau
+            ia = pdf["id_a"].to_numpy()[dup]
+            ib = pdf["id_b"].to_numpy()[dup]
+            ca = pdf["ca"].to_numpy()[dup]
+            cb = pdf["cb"].to_numpy()[dup]
+            # paper rule on rounded cosines: the more centroid-typical
+            # member drops; ties drop the larger id
+            a_loses = (ca > cb) | ((ca == cb) & (ia > ib))
+            yield pd.DataFrame({"loser": np.where(a_loses, ia, ib)})
+
+    losers = (
+        joined.mapInPandas(verify_pass, "loser long")
+        .distinct()
+        .select(F.col("loser").alias("nid"))
+        .withColumn("_drop", F.lit(True))
+    )
+    return wide.join(F.broadcast(losers), "nid", "left").select(
+        "nid",
+        "cell",
+        "c_sim",
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
+def semdedup_sql(
+    tau: float = 0.95,
+    n_cells: int = 8,
+    iters: int = 5,
+    sample: int = 4096,
+    sample_frac: float = 0.5,
+    max_cell: int = 100_000,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semdedup_labels`: identical k-means CTEs
+    (shared with the IVF oracle via ``kmeans_assign_ctes``), unit
+    normalization and centroid cosine with list_sum's sequential fold,
+    the same round-6 / tie-break loser rule."""
+    ctes = kmeans_assign_ctes(
+        n_cells, iters, sample, sample_frac, table, id_col, vec_col
+    )
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({x})), "
+            f"i -> {x}[i] * {y}[i]))"
+        )
+
+    def unit(x: str) -> str:
+        return (
+            f"list_transform({x}, e -> e / sqrt(list_sum("
+            f"list_transform(generate_series(1, len({x})), "
+            f"i -> {x}[i] * {x}[i]))))"
+        )
+
+    ctes.append(
+        f"""normc AS (
+  SELECT cell, {unit('c')} AS cn FROM cent{iters}
+)"""
+    )
+    ctes.append(
+        f"""wide AS (
+  SELECT a.nid, a.cell, {unit('a.v')} AS vn,
+         round({dot(unit('a.v'), 'nc.cn')}, 6) AS c_sim
+  FROM assigned a JOIN normc nc ON nc.cell = a.cell
+)"""
+    )
+    ctes.append(
+        f"""okcell AS (
+  SELECT cell FROM wide GROUP BY cell HAVING count(*) <= {max_cell}
+)"""
+    )
+    ctes.append(
+        f"""losers AS (
+  SELECT DISTINCT CASE
+      WHEN a.c_sim > b.c_sim
+        OR (a.c_sim = b.c_sim AND a.nid > b.nid) THEN a.nid
+      ELSE b.nid END AS nid
+  FROM wide a
+  JOIN wide b ON a.cell = b.cell AND a.nid < b.nid
+  JOIN okcell k ON k.cell = a.cell
+  WHERE round({dot('a.vn', 'b.vn')}, 6) >= {tau}
+)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT w.nid, w.cell, w.c_sim,
+       w.nid NOT IN (SELECT nid FROM losers) AS keep
+FROM wide w
+"""

@@ -67,6 +67,7 @@ def main() -> None:
         "q_dsir_weights (broadcast log-ratio scoring join, r6)": em.q_dsir_weights(spark, sf),
         "q_ccnet_buckets (map-only after one scorer crossing, r6)": em.q_ccnet_buckets(spark, sf),
         "q_dedup_phash (banded Hamming join + broadcast labels, r6)": em.q_dedup_phash(spark, sf),
+        "q_dedup_semantic (SemDeDup: kmeans cells + in-cell verify, r6)": em.q_dedup_semantic(spark, sf),
     }
 
     lines = [
@@ -185,6 +186,17 @@ def main() -> None:
         "  (plan-gated: 0 SMJ). The spine re-scans the 2-int-column input",
         "  rather than caching a 10^12-row table — columnar scan of",
         "  (id, phash) is cheaper than materializing the corpus.",
+        "- **q_dedup_semantic (r6):** ONE Arrow pass per corpus row",
+        "  (cluster assignment + unit vector + centroid cosine),",
+        "  checkpointed as the cluster index; the candidate self-join",
+        "  shuffles (nid, cell) pairs only, vectors rejoin per side at the",
+        "  verify boundary; the loser set is pair-bounded and broadcasts",
+        "  onto the spine. The cell join's parallelism equals n_cells by",
+        "  construction — SemDeDup scales n_cells with the corpus (the",
+        "  paper runs 50k clusters at web scale), so cells stay",
+        "  max_cell-bounded and the per-cell O(m^2) verify stays local;",
+        "  degenerate clusters beyond max_cell are skipped (same contract",
+        "  as the LSH/minhash max_bucket guards).",
         "- **q_dedup_passages first-occurrence pass (r6, closes the r5",
         "  'What's wrong #1' skew flag):** the Window.partitionBy(raw",
         "  passage string) + row_number formulation is replaced by",
