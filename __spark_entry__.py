@@ -1046,9 +1046,24 @@ def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_pass_expr,
     )
 
-    hx = F.md5(F.col("doc_id").cast("string"))
-    img = _docs(spark, sf_dir).select(
+    img = _docs(spark, sf_dir).select("doc_id", *_image_payload_exprs())
+    m = image_metric_exprs()
+    return img.select(
         "doc_id",
+        m["min_dim"].alias("min_dim"),
+        F.round(m["aspect"], 6).alias("aspect"),
+        F.round(m["bytes_per_pixel"], 9).alias("bytes_per_pixel"),
+        m["fmt_norm"].alias("fmt_norm"),
+        image_pass_expr(m).alias("image_pass"),
+    )
+
+
+def _image_payload_exprs() -> list:
+    """The deterministic synthesized (w, h, fmt, bytes) payload columns
+    over (doc_id, text) — identical derivation to the q_image_quality /
+    q_multimodal_curation oracles' img CTE."""
+    hx = F.md5(F.col("doc_id").cast("string"))
+    return [
         (
             F.conv(F.substring(hx, 1, 4), 16, 10).cast("long") % 512 + 16
         ).alias("w"),
@@ -1060,18 +1075,12 @@ def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 4 + 1).cast("int"),
         ).alias("fmt"),
         F.unhex(
-            F.repeat(F.md5(F.coalesce("text", F.lit(""))), (F.col("doc_id") % 512 + 1).cast("int"))
+            F.repeat(
+                F.md5(F.coalesce("text", F.lit(""))),
+                (F.col("doc_id") % 512 + 1).cast("int"),
+            )
         ).alias("bytes"),
-    )
-    m = image_metric_exprs()
-    return img.select(
-        "doc_id",
-        m["min_dim"].alias("min_dim"),
-        F.round(m["aspect"], 6).alias("aspect"),
-        F.round(m["bytes_per_pixel"], 9).alias("bytes_per_pixel"),
-        m["fmt_norm"].alias("fmt_norm"),
-        image_pass_expr(m).alias("image_pass"),
-    )
+    ]
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,6 +1153,12 @@ def _phash_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-cluster pairs are random 60-bit (never within 6).  This is
     the trusted ``phash:int64`` column of the north-rule input schema;
     q_multimodal_phash covers COMPUTING it from pixels."""
+    return _docs(spark, sf_dir).select("doc_id", _phash_expr().alias("phash"))
+
+
+def _phash_expr():
+    """The synthesized-phash Column over a doc_id column (see
+    _phash_column; twin of _PHASH_COLUMN_SQL's expression)."""
     base = F.conv(
         F.substring(F.md5((F.col("doc_id") % 97).cast("string")), 1, 15),
         16,
@@ -1160,14 +1175,10 @@ def _phash_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, f1)
         .otherwise(f1.bitwiseXOR(f2))
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", base.bitwiseXOR(flips).alias("phash")
-    )
+    return base.bitwiseXOR(flips)
 
 
-_PHASH_COLUMN_SQL = """
-SELECT doc_id,
-       xor(CAST('0x' || substring(md5(CAST(doc_id % 97 AS VARCHAR)), 1, 15)
+_PHASH_EXPR_SQL = """xor(CAST('0x' || substring(md5(CAST(doc_id % 97 AS VARCHAR)), 1, 15)
                 AS BIGINT),
            CASE
              WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
@@ -1176,9 +1187,22 @@ SELECT doc_id,
              ELSE xor(
                (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)),
                (CAST(1 AS BIGINT) << CAST((doc_id + 31) % 60 AS INT)))
-           END) AS phash
+           END)"""
+
+_PHASH_COLUMN_SQL = f"""
+SELECT doc_id,
+       {_PHASH_EXPR_SQL} AS phash
 FROM documents
 """
+
+_IMAGE_PAYLOAD_SQL = """doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 512 + 16 AS w,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4)
+              AS BIGINT) % 512 + 16 AS h,
+         ['raw', 'png', 'jpeg', 'gif'][CAST(doc_id % 4 AS INT) + 1] AS fmt,
+         unhex(repeat(md5(coalesce(text, '')),
+                      CAST(doc_id % 512 AS INT) + 1)) AS bytes"""
 
 
 def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,6 +1231,75 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return semdedup_labels(emb, tau=0.4, n_cells=16)
+
+
+def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation (r6): the image-side operators COMPOSED with
+    caption exact-dedup over ONE spine — the job shape of the north rule
+    on image+caption pairs: (1) decode-free image-metadata gate, (2)
+    phash near-dup dedup keeping the canonical image, (3) caption
+    exact-dedup keeping the canonical caption; `selected` = all three,
+    `drop_reason` = first failing stage (image > image_dup >
+    caption_dup).  Spine lesson from the r6 q_corpus_curation audit:
+    the image metrics, phash, and caption hash are map-side COLUMNS on
+    one scan; the only join-backs are the pair-bounded phash dropped
+    set (broadcast) and the caption canonical groups (keyed on the
+    int64 hash the spine already carries)."""
+    from kenlm_spark.filtering.image_quality import (
+        image_metric_exprs,
+        image_pass_expr,
+    )
+    from kenlm_spark.operators.dedup import exact_duplicates, h60, norm_text
+    from kenlm_spark.operators.multimodal import phash_near_pairs
+
+    docs = _docs(spark, sf_dir)
+    spine = docs.select(
+        "doc_id",
+        *_image_payload_exprs(),
+        _phash_expr().alias("phash"),
+        h60(norm_text("text")).alias("_th"),
+    )
+    m = image_metric_exprs()
+    spine = spine.select(
+        "doc_id", "phash", "_th", image_pass_expr(m).alias("image_pass")
+    )
+    pdrop = (
+        phash_near_pairs(
+            spine.select("doc_id", "phash"), "doc_id", "phash"
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_pdrop", F.lit(True))
+    )
+    dups = exact_duplicates(docs).select(
+        F.col("text_hash").alias("_th"), "keep_id"
+    )
+    out = (
+        spine.join(F.broadcast(pdrop), "doc_id", "left")
+        .join(dups, "_th")
+        .select(
+            "doc_id",
+            "image_pass",
+            F.col("_pdrop").isNull().alias("image_canonical"),
+            (F.col("doc_id") == F.col("keep_id")).alias("caption_canonical"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "image_pass",
+        "image_canonical",
+        "caption_canonical",
+        (
+            F.col("image_pass")
+            & F.col("image_canonical")
+            & F.col("caption_canonical")
+        ).alias("selected"),
+        F.when(~F.col("image_pass"), F.lit("image"))
+        .when(~F.col("image_canonical"), F.lit("image_dup"))
+        .when(~F.col("caption_canonical"), F.lit("caption_dup"))
+        .otherwise(F.lit("none"))
+        .alias("drop_reason"),
+    )
 
 
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1603,14 +1696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,  # NEW r6 (ppl partitioning)
         "q_dedup_phash": q_dedup_phash,  # NEW r6 (image phash near-dup)
         "q_dedup_semantic": q_dedup_semantic,  # NEW r6 (SemDeDup)
-        # --- window fill (12; q_word_freq and q_ngram_count_2 rotated out
-        # for q_dedup_phash / q_dedup_semantic — both untouched since r1,
-        # hash-green in CORRECTNESS_r05.json)
+        "q_multimodal_curation": q_multimodal_curation,  # NEW r6 (composed)
+        # --- window fill (11; q_word_freq, q_ngram_count_2, q_lm_windows_3
+        # rotated out for the three new r6 queries — all untouched since
+        # r1, hash-green in CORRECTNESS_r05.json)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_lm_adjusted_2": q_lm_adjusted_2,
-        "q_lm_windows_3": q_lm_windows_3,
         "q_ngram_count_3": q_ngram_count_3,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
@@ -1622,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r5 driver record (CORRECTNESS_r05.json)
         "q_word_freq": q_word_freq,
         "q_ngram_count_2": q_ngram_count_2,
+        "q_lm_windows_3": q_lm_windows_3,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -1863,14 +1957,7 @@ GROUP BY 1, 2
                 "kenlm_spark.filtering.image_quality", fromlist=["x"]
             ): f"""
 WITH img AS (
-  SELECT doc_id,
-         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-              AS BIGINT) % 512 + 16 AS w,
-         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4)
-              AS BIGINT) % 512 + 16 AS h,
-         ['raw', 'png', 'jpeg', 'gif'][CAST(doc_id % 4 AS INT) + 1] AS fmt,
-         unhex(repeat(md5(coalesce(text, '')),
-                      CAST(doc_id % 512 AS INT) + 1)) AS bytes
+  SELECT {_IMAGE_PAYLOAD_SQL}
   FROM documents
 )
 SELECT doc_id,
@@ -1920,6 +2007,39 @@ FROM img
         "q_dedup_semantic": __import__(
             "kenlm_spark.operators.semdedup", fromlist=["x"]
         ).semdedup_sql(tau=0.4, n_cells=16),
+        "q_multimodal_curation": (
+            lambda iq=__import__(
+                "kenlm_spark.filtering.image_quality", fromlist=["x"]
+            ), mm=__import__(
+                "kenlm_spark.operators.multimodal", fromlist=["x"]
+            ): f"""
+WITH img AS (
+  SELECT {_IMAGE_PAYLOAD_SQL},
+         {_PHASH_EXPR_SQL} AS phash,
+         {dedup._h60_sql(dedup._norm_sql('text'))} AS _th
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, phash, _th, {iq.image_pass_sql()} AS image_pass FROM img
+),
+pp AS ({mm.phash_near_pairs_sql('img', 'doc_id', 'phash').strip()}),
+pdrop AS (SELECT DISTINCT id_b FROM pp),
+dups AS ({dedup.exact_duplicates_sql().strip()}),
+lab AS (
+  SELECT s.doc_id, s.image_pass,
+         s.doc_id NOT IN (SELECT id_b FROM pdrop) AS image_canonical,
+         s.doc_id = d.keep_id AS caption_canonical
+  FROM sp s JOIN dups d ON d.text_hash = s._th
+)
+SELECT doc_id, image_pass, image_canonical, caption_canonical,
+       (image_pass AND image_canonical AND caption_canonical) AS selected,
+       CASE WHEN NOT image_pass THEN 'image'
+            WHEN NOT image_canonical THEN 'image_dup'
+            WHEN NOT caption_canonical THEN 'caption_dup'
+            ELSE 'none' END AS drop_reason
+FROM lab
+"""
+        )(),
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

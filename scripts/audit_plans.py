@@ -68,6 +68,7 @@ def main() -> None:
         "q_ccnet_buckets (map-only after one scorer crossing, r6)": em.q_ccnet_buckets(spark, sf),
         "q_dedup_phash (banded Hamming join + broadcast labels, r6)": em.q_dedup_phash(spark, sf),
         "q_dedup_semantic (SemDeDup: kmeans cells + in-cell verify, r6)": em.q_dedup_semantic(spark, sf),
+        "q_multimodal_curation (image gate + phash dedup + caption dedup, one spine, r6)": em.q_multimodal_curation(spark, sf),
     }
 
     lines = [
@@ -135,6 +136,16 @@ def main() -> None:
                     f"{name}: expected 0 SMJ and a broadcast label join, "
                     f"got {s['sort_merge_join']} SMJ / "
                     f"{s['broadcast_hash_join']} BHJ"
+                )
+        if name.startswith("q_multimodal_curation"):
+            # image gate, phash banding, and caption hashing are all
+            # Catalyst expressions: the whole composed curation DAG must
+            # run with ZERO Python crossings.
+            if s["arrow_eval_python"] != 0 or s["map_in_pandas"] != 0:
+                failures.append(
+                    f"{name}: expected 0 Python crossings, got "
+                    f"{s['arrow_eval_python']} ArrowEvalPython / "
+                    f"{s['map_in_pandas']} MapInPandas"
                 )
         if name.startswith("q_keep_drop_join"):
             # distributed-model pipeline: one Arrow crossing (the key-chain
