@@ -414,6 +414,32 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_filter(docs, blocklist)
 
 
+def q_ppl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain perplexity evaluation (r6; the Paloma eval shape,
+    Magnusson et al. 2023): the A8 corpus-ppl rollup grouped by the
+    documents' source domain — the per-slice view a curation team reads
+    to spot domains the LM models badly. Same scorer crossing as
+    q_corpus_ppl, one extra groupBy on a low-cardinality key (partial
+    aggregation absorbs it map-side; no skew exposure)."""
+    from kenlm_spark.ngram.scorer import SparkNGramScorer
+
+    scorer = SparkNGramScorer(spark, _model())
+    df = scorer.with_scores(_docs(spark, sf_dir), "text", prefix="")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_tokens") + 1).cast("long").alias("n_scored"),
+        F.sum("oov_count").cast("long").alias("n_oov"),
+        F.round(
+            -F.sum("log10_prob") / F.sum(F.col("n_tokens") + 1), 6
+        ).alias("log10_ppl_incl_oov"),
+        F.round(
+            -F.sum("log10_prob")
+            / (F.sum(F.col("n_tokens") + 1) - F.sum("oov_count")),
+            6,
+        ).alias("log10_ppl_excl_oov"),
+    )
+
+
 def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North rule end-to-end: langid + perplexity + heuristics + scrub →
     keep/drop + drop_reason + scrubbed text, per document."""
@@ -1697,13 +1723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_phash": q_dedup_phash,  # NEW r6 (image phash near-dup)
         "q_dedup_semantic": q_dedup_semantic,  # NEW r6 (SemDeDup)
         "q_multimodal_curation": q_multimodal_curation,  # NEW r6 (composed)
-        # --- window fill (11; q_word_freq, q_ngram_count_2, q_lm_windows_3
-        # rotated out for the three new r6 queries — all untouched since
-        # r1, hash-green in CORRECTNESS_r05.json)
+        "q_ppl_by_source": q_ppl_by_source,  # NEW r6 (per-domain eval)
+        # --- window fill (10; q_word_freq, q_ngram_count_2, q_lm_windows_3,
+        # q_lm_adjusted_2 rotated out for the four new r6 queries — all
+        # untouched since r1, hash-green in CORRECTNESS_r05.json)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_adjusted_1": q_lm_adjusted_1,
-        "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_ngram_count_3": q_ngram_count_3,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
@@ -1716,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word_freq": q_word_freq,
         "q_ngram_count_2": q_ngram_count_2,
         "q_lm_windows_3": q_lm_windows_3,
+        "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -1875,6 +1902,19 @@ FROM s
         ),
         "q_score_stupid_backoff": stupid,
         "q_corpus_ppl": corpus_ppl,
+        "q_ppl_by_source": f"""
+WITH s AS ({score_raw})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_tokens + 1) AS BIGINT) AS n_scored,
+       CAST(SUM(s.oov_count) AS BIGINT) AS n_oov,
+       round(-SUM(s.log10_prob_raw) / SUM(s.n_tokens + 1), 6)
+         AS log10_ppl_incl_oov,
+       round(-SUM(s.log10_prob_raw) / (SUM(s.n_tokens + 1) - SUM(s.oov_count)), 6)
+         AS log10_ppl_excl_oov
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source
+""",
         "q_events_sessions": """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
