@@ -358,7 +358,19 @@ def phash_near_pairs(
     64-bit hash splits into max_hamming+1 bands, any qualifying pair
     agrees on >= 1 whole band; band-bucket join + exact popcount verify
     (the simhash banding argument on the image modality). Buckets over
-    ``max_bucket`` are dropped (flat-color boilerplate guard)."""
+    ``max_bucket`` are dropped (flat-color boilerplate guard).
+
+    Band-saturation constraint (the scale knob): each band has
+    ``64 // (max_hamming+1)`` bits, so a corpus of N images fills a
+    band's ``2^width`` buckets with ~``N / 2^width`` members each —
+    once that exceeds ``max_bucket`` the guard starts dropping WHOLE
+    buckets and recall collapses. max_hamming=6 (9-10-bit bands)
+    saturates beyond ~1M images; the production 64-bit-pHash near-dup
+    threshold max_hamming=2 gives 3 bands x 21 bits (2M buckets/band)
+    and holds to ~10^9 images per shard — beyond that, shard by a
+    coarse key (e.g. phash's top byte) or move to a longer hash.
+    scripts/bench_scaling_phash.py measures the N->4N scaling of this
+    operator at max_hamming=2."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     band_structs = []
@@ -458,6 +470,7 @@ def phash_dedup_labels(
     phash_col: str = "phash",
     max_hamming: int = 6,
     max_bucket: int = 2000,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """Per-image keep/drop labels from phash Hamming near-duplicates:
     drop every image that has a near-duplicate with a smaller id (the
@@ -466,10 +479,16 @@ def phash_dedup_labels(
     trade-off vs an iterative connected-components pass, available
     separately as ``dedup.dedup_components``).
 
-    Scale shape: the banded self-join is the only corpus-size shuffle
-    (band buckets are bounded by ``max_bucket``); the dropped-id set is
-    pair-bounded and broadcasts back onto the spine, so the label join
-    is exchange-free on the corpus side.
+    Scale shape: the banded self-join is the only unavoidable
+    corpus-size shuffle (band buckets are bounded by ``max_bucket``).
+    The dropped-id set is DUPLICATE-bounded, not constant: at low dup
+    rates it broadcasts back onto the spine (``broadcast_drops=True``,
+    label join exchange-free on the corpus side), but a dedup-heavy
+    corpus (a real crawl runs 30-80% near-dups) makes it corpus-scale —
+    pass ``broadcast_drops=False`` there and the labels come from an
+    id-keyed shuffle join instead (measured: the forced broadcast OOMs
+    the driver at a 6.4M-id dropped set, scripts/bench_scaling_phash.py
+    runs the shuffle path).
     """
     pairs = phash_near_pairs(df, id_col, phash_col, max_hamming, max_bucket)
     dropped = (
@@ -477,7 +496,9 @@ def phash_dedup_labels(
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
-    return df.join(F.broadcast(dropped), id_col, "left").select(
+    if broadcast_drops:
+        dropped = F.broadcast(dropped)
+    return df.join(dropped, id_col, "left").select(
         id_col,
         phash_col,
         F.col("_dup").isNull().alias("keep"),

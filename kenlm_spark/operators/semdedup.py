@@ -53,6 +53,7 @@ def semdedup_labels(
     sample: int = 4096,
     sample_frac: float = 0.5,
     max_cell: int = 100_000,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """(nid, cell, c_sim, keep) — SemDeDup keep/drop labels.
 
@@ -61,6 +62,11 @@ def semdedup_labels(
     false iff some same-cell neighbor with cosine >= ``tau`` beats this
     row under the paper's rule (the MORE centroid-typical member of a
     near-dup pair drops; ties drop the larger id).
+
+    ``broadcast_drops``: the loser set is duplicate-bounded — broadcast
+    by default, but set False on dedup-heavy corpora where it grows to
+    corpus scale (same contract as
+    ``multimodal.phash_dedup_labels(broadcast_drops=...)``).
     """
     cent = train_centroids(
         emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
@@ -158,7 +164,9 @@ def semdedup_labels(
         .select(F.col("loser").alias("nid"))
         .withColumn("_drop", F.lit(True))
     )
-    return wide.join(F.broadcast(losers), "nid", "left").select(
+    if broadcast_drops:
+        losers = F.broadcast(losers)
+    return wide.join(losers, "nid", "left").select(
         "nid",
         "cell",
         "c_sim",
