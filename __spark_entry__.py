@@ -1328,6 +1328,19 @@ def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (r6; the DataComp-style
+    balancing step after SemDeDup): downsample every k-means cell to
+    ~per_cell members via an integer hash-threshold quota — head
+    clusters stop dominating the mix, and the plan is one partially
+    aggregated count per cell + a map-only filter (no corpus-scale
+    Window)."""
+    from kenlm_spark.operators.semdedup import cluster_balanced_sample
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, per_cell=10, n_cells=16)
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1724,12 +1737,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_semantic": q_dedup_semantic,  # NEW r6 (SemDeDup)
         "q_multimodal_curation": q_multimodal_curation,  # NEW r6 (composed)
         "q_ppl_by_source": q_ppl_by_source,  # NEW r6 (per-domain eval)
-        # --- window fill (10; q_word_freq, q_ngram_count_2, q_lm_windows_3,
-        # q_lm_adjusted_2 rotated out for the four new r6 queries — all
-        # untouched since r1, hash-green in CORRECTNESS_r05.json)
+        "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
+        # --- window fill (9; q_word_freq, q_ngram_count_2, q_lm_windows_3,
+        # q_lm_adjusted_2, q_lm_adjusted_1 rotated out for the five new r6
+        # queries — all untouched since r1, hash-green in
+        # CORRECTNESS_r05.json)
         "q_lm_model_3": q_lm_model_3,
         "q_lm_model_pruned": q_lm_model_pruned,
-        "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_ngram_count_3": q_ngram_count_3,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
@@ -1743,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_count_2": q_ngram_count_2,
         "q_lm_windows_3": q_lm_windows_3,
         "q_lm_adjusted_2": q_lm_adjusted_2,
+        "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -2047,6 +2062,9 @@ FROM img
         "q_dedup_semantic": __import__(
             "kenlm_spark.operators.semdedup", fromlist=["x"]
         ).semdedup_sql(tau=0.4, n_cells=16),
+        "q_cluster_sample": __import__(
+            "kenlm_spark.operators.semdedup", fromlist=["x"]
+        ).cluster_balanced_sample_sql(per_cell=10, n_cells=16),
         "q_multimodal_curation": (
             lambda iq=__import__(
                 "kenlm_spark.filtering.image_quality", fromlist=["x"]

@@ -174,6 +174,93 @@ def semdedup_labels(
     )
 
 
+_CBAL_SALT = "cbal:"
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cell: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 5,
+    sample: int = 4096,
+    sample_frac: float = 0.5,
+) -> DataFrame:
+    """(nid, cell, n_cell, sampled) — cluster-balanced diversity
+    sampling: downsample each k-means cell to ~``per_cell`` members so
+    head clusters (boilerplate-dense regions of embedding space) stop
+    dominating the training mix — the balancing step run after SemDeDup
+    in DataComp-style curation.
+
+    Quotas are hash-threshold EXPECTED counts, not exact ranks: a row
+    samples iff ``h60(salt || id) % 1e6  *  n_cell  <  per_cell * 1e6``
+    (pure BIGINT arithmetic — bit-exact across engines, no float
+    boundary). This is deliberate: an exact per-cell top-K needs a
+    rank over the cell — a corpus-scale Window with no partial
+    aggregation, the viral-cell skew trap — while the threshold form is
+    one partially-aggregated count per cell (broadcast back; ≤ n_cells
+    rows) plus a map-only filter. Quota variance is binomial
+    (~sqrt(per_cell)), irrelevant at curation scale.
+    """
+    from kenlm_spark.operators.dedup import h60
+    from kenlm_spark.operators.ivf import assign_cells, train_centroids
+
+    cent = train_centroids(
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample=sample, sample_frac=sample_frac,
+    )
+    assigned = assign_cells(emb, cent, id_col=id_col, vec_col=vec_col)
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell")
+    )
+    hmod = F.pmod(
+        h60(F.concat(F.lit(_CBAL_SALT), F.col("nid").cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        assigned.select("nid", "cell")
+        .join(F.broadcast(counts), "cell")
+        .select(
+            "nid",
+            "cell",
+            "n_cell",
+            (hmod * F.col("n_cell") < per_cell * 1_000_000).alias("sampled"),
+        )
+    )
+
+
+def cluster_balanced_sample_sql(
+    per_cell: int = 100,
+    n_cells: int = 8,
+    iters: int = 5,
+    sample: int = 4096,
+    sample_frac: float = 0.5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`cluster_balanced_sample` (shared k-means
+    CTEs; DuckDB's %% is signed, hence the +1e6 fold)."""
+    ctes = kmeans_assign_ctes(
+        n_cells, iters, sample, sample_frac, table, id_col, vec_col
+    )
+    h = (
+        f"CAST(('0x' || substring(md5('{_CBAL_SALT}' || "
+        f"CAST(a.nid AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+        FROM assigned GROUP BY cell)
+SELECT a.nid, a.cell, c.n_cell,
+       ((({h} % 1000000) + 1000000) % 1000000) * c.n_cell
+         < {per_cell} * 1000000 AS sampled
+FROM assigned a JOIN cnt c ON c.cell = a.cell
+"""
+
+
 def semdedup_sql(
     tau: float = 0.95,
     n_cells: int = 8,

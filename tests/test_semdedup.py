@@ -75,6 +75,43 @@ def test_max_cell_guard_skips_degenerate_cluster(spark):
     assert out[3] and out[12]
 
 
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    import hashlib
+
+    from kenlm_spark.operators.semdedup import cluster_balanced_sample
+
+    # 200 vectors in 2 tight direction clusters of very different sizes
+    rows = [
+        (i, [1.0, 0.0, 0.001 * (i % 7), 0.0]) for i in range(160)
+    ] + [
+        (1000 + i, [0.0, 1.0, 0.0, 0.001 * (i % 5)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(
+        df, per_cell=20, n_cells=2, sample_frac=1.0
+    ).collect()
+    assert len(out) == 200
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell) == 2
+    for members in by_cell.values():
+        n = len(members)
+        assert all(r["n_cell"] == n for r in members)
+        kept = sum(r["sampled"] for r in members)
+        # expected quota = per_cell (binomial): allow a wide band, and
+        # the small cell (40 <= 2*per_cell) keeps roughly half
+        assert 0 < kept <= min(n, 3 * 20)
+        # the decision is the documented pure-integer threshold —
+        # recompute it row by row
+        for r in members:
+            u = int.from_bytes(
+                hashlib.md5(f"cbal:{r['nid']}".encode()).digest()[:8], "big"
+            )
+            hmod = (u >> 4) % 1_000_000  # h60 = top 60 bits of md5
+            assert r["sampled"] == (hmod * n < 20 * 1_000_000)
+
+
 def test_labels_cover_corpus_and_match_sql_shape(spark):
     df = spark.createDataFrame(
         _rows(), "vec_id long, embedding array<double>"
