@@ -69,6 +69,8 @@ def main() -> None:
         "q_dedup_phash (banded Hamming join + broadcast labels, r6)": em.q_dedup_phash(spark, sf),
         "q_dedup_semantic (SemDeDup: kmeans cells + in-cell verify, r6)": em.q_dedup_semantic(spark, sf),
         "q_multimodal_curation (image gate + phash dedup + caption dedup, one spine, r6)": em.q_multimodal_curation(spark, sf),
+        "q_ppl_by_source (per-domain ppl rollup, r6)": em.q_ppl_by_source(spark, sf),
+        "q_cluster_sample (per-cell quota sampling, r6)": em.q_cluster_sample(spark, sf),
     }
 
     lines = [
@@ -146,6 +148,25 @@ def main() -> None:
                     f"{name}: expected 0 Python crossings, got "
                     f"{s['arrow_eval_python']} ArrowEvalPython / "
                     f"{s['map_in_pandas']} MapInPandas"
+                )
+        if name.startswith("q_ppl_by_source"):
+            # the per-domain rollup must not add crossings or scans over
+            # q_corpus_ppl: one scorer ArrowEvalPython, one corpus scan,
+            # partial+final agg on the low-cardinality source key.
+            if s["arrow_eval_python"] != 1 or s["scan_parquet"] != 1:
+                failures.append(
+                    f"{name}: expected 1 ArrowEvalPython / 1 scan, got "
+                    f"{s['arrow_eval_python']} / {s['scan_parquet']}"
+                )
+        if name.startswith("q_cluster_sample"):
+            # quota decisions are map-only: the per-cell counts (≤
+            # n_cells rows) must broadcast back, never shuffle the
+            # corpus for the label join.
+            if s["broadcast_hash_join"] < 1 or s["sort_merge_join"] != 0:
+                failures.append(
+                    f"{name}: expected broadcast count join and 0 SMJ, "
+                    f"got {s['broadcast_hash_join']} BHJ / "
+                    f"{s['sort_merge_join']} SMJ"
                 )
         if name.startswith("q_keep_drop_join"):
             # distributed-model pipeline: one Arrow crossing (the key-chain
