@@ -1341,6 +1341,19 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(emb, per_cell=10, n_cells=16)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (r6): the LM-training
+    windowing step (GPT-2-style strided windows) as one map-only
+    Catalyst projection — tokenize, stride starts, posexplode, slice.
+    Toy window (12 tokens, overlap 4) so multi-chunk documents are
+    common at caption lengths; production uses the model context size."""
+    from kenlm_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=12, overlap=4
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1738,12 +1751,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_curation": q_multimodal_curation,  # NEW r6 (composed)
         "q_ppl_by_source": q_ppl_by_source,  # NEW r6 (per-domain eval)
         "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
-        # --- window fill (9; q_word_freq, q_ngram_count_2, q_lm_windows_3,
-        # q_lm_adjusted_2, q_lm_adjusted_1 rotated out for the five new r6
-        # queries — all untouched since r1, hash-green in
-        # CORRECTNESS_r05.json)
+        "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
+        # --- window fill (8; q_word_freq, q_ngram_count_2, q_lm_windows_3,
+        # q_lm_adjusted_2, q_lm_adjusted_1, q_lm_model_pruned rotated out
+        # for the six new r6 queries — all untouched since r1, hash-green
+        # in CORRECTNESS_r05.json)
         "q_lm_model_3": q_lm_model_3,
-        "q_lm_model_pruned": q_lm_model_pruned,
         "q_ngram_count_3": q_ngram_count_3,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
@@ -1758,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_windows_3": q_lm_windows_3,
         "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_lm_adjusted_1": q_lm_adjusted_1,
+        "q_lm_model_pruned": q_lm_model_pruned,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -2065,6 +2079,9 @@ FROM img
         "q_cluster_sample": __import__(
             "kenlm_spark.operators.semdedup", fromlist=["x"]
         ).cluster_balanced_sample_sql(per_cell=10, n_cells=16),
+        "q_chunk_documents": __import__(
+            "kenlm_spark.operators.chunking", fromlist=["x"]
+        ).chunk_documents_sql(max_tokens=12, overlap=4),
         "q_multimodal_curation": (
             lambda iq=__import__(
                 "kenlm_spark.filtering.image_quality", fromlist=["x"]
