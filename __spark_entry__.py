@@ -1354,6 +1354,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (r6; the SlimPajama/DoReMi mixing
+    step): cap every source domain at a fixed training-token budget via
+    deterministic integer hash-threshold document sampling. One corpus
+    pass + a low-cardinality broadcast of per-domain totals; heavy
+    domains downsample toward the budget, light ones keep everything."""
+    from kenlm_spark.operators.mixing import rebalance_by_domain
+
+    return rebalance_by_domain(
+        _docs(spark, sf_dir), budget_tokens_per_domain=800
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1752,11 +1765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_by_source": q_ppl_by_source,  # NEW r6 (per-domain eval)
         "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
         "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
-        # --- window fill (8; q_word_freq, q_ngram_count_2, q_lm_windows_3,
-        # q_lm_adjusted_2, q_lm_adjusted_1, q_lm_model_pruned rotated out
-        # for the six new r6 queries — all untouched since r1, hash-green
-        # in CORRECTNESS_r05.json)
-        "q_lm_model_3": q_lm_model_3,
+        "q_domain_rebalance": q_domain_rebalance,  # NEW r6 (data mixing)
+        # --- window fill (7; q_word_freq, q_ngram_count_2, q_lm_windows_3,
+        # q_lm_adjusted_2, q_lm_adjusted_1, q_lm_model_pruned, q_lm_model_3
+        # rotated out for the seven new r6 queries — all untouched since
+        # r1, hash-green in CORRECTNESS_r05.json)
         "q_ngram_count_3": q_ngram_count_3,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
@@ -1772,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_adjusted_2": q_lm_adjusted_2,
         "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_lm_model_pruned": q_lm_model_pruned,
+        "q_lm_model_3": q_lm_model_3,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -2082,6 +2096,9 @@ FROM img
         "q_chunk_documents": __import__(
             "kenlm_spark.operators.chunking", fromlist=["x"]
         ).chunk_documents_sql(max_tokens=12, overlap=4),
+        "q_domain_rebalance": __import__(
+            "kenlm_spark.operators.mixing", fromlist=["x"]
+        ).rebalance_by_domain_sql(budget_tokens_per_domain=800),
         "q_multimodal_curation": (
             lambda iq=__import__(
                 "kenlm_spark.filtering.image_quality", fromlist=["x"]
