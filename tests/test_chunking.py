@@ -52,6 +52,31 @@ def test_window_boundaries_and_coverage(spark):
         assert all(i * 8 + 12 > (i - 1) * 8 + 12 for i, _, _ in chunks if i)
 
 
+def test_stream_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is a pure map-side projection, so it is
+    stream-legal as-is: the streaming result must equal the batch one."""
+    from kenlm_spark.streaming.jobs import run_available_now
+
+    rows = [(i, _toks(5 + 7 * i)) for i in range(8)] + [(99, "")]
+    src = str(tmp_path / "docs_dir")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in run_available_now(
+            chunk_documents(stream, max_tokens=12, overlap=4), "chunk_test"
+        )
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            spark.read.parquet(src), max_tokens=12, overlap=4
+        ).collect()
+    }
+    assert got == want and len(want) > 8  # multi-chunk docs present
+
+
 def test_param_validation(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
