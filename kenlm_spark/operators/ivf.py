@@ -71,6 +71,12 @@ def train_centroids(
     rows = (
         cand.orderBy(id_col).limit(sample).select(id_col, vec_col).collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_centroids: no vectors to train on — the input is empty "
+            f"or sample_frac={sample_frac} selected nothing; raise "
+            "sample_frac or check the input"
+        )
     X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     cent = X[:k].copy()
     for _ in range(iters):

@@ -53,7 +53,13 @@ def rebalance_by_domain(
         h60(F.concat(F.lit(_SALT), F.col(id_col).cast("string"))),
         F.lit(1_000_000),
     )
-    return base.join(F.broadcast(totals), domain_col).select(
+    # null-safe join: a NULL domain is a group like any other (groupBy
+    # already keeps it); a plain equi-join would silently drop those docs
+    totals = totals.withColumnRenamed(domain_col, "_dom")
+    return base.join(
+        F.broadcast(totals),
+        F.col(domain_col).eqNullSafe(F.col("_dom")),
+    ).select(
         id_col,
         domain_col,
         "n_tokens",
@@ -92,5 +98,5 @@ _mt AS (
 SELECT b.{id_col}, b.{domain_col}, b.n_tokens, t.domain_tokens,
        ((({h} % 1000000) + 1000000) % 1000000) * t.domain_tokens
          < CAST({budget_tokens_per_domain} AS BIGINT) * 1000000 AS sampled
-FROM _mb b JOIN _mt t ON t.{domain_col} = b.{domain_col}
+FROM _mb b JOIN _mt t ON t.{domain_col} IS NOT DISTINCT FROM b.{domain_col}
 """

@@ -37,6 +37,17 @@ def test_budget_semantics_and_determinism(spark):
         assert r["sampled"] == (hmod * 2000 < 500 * 1_000_000)
 
 
+def test_null_domain_is_a_group_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, None, "z w q"), (3, None, "m n")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in rebalance_by_domain(df, 100).collect()}
+    assert set(out) == {1, 2, 3}  # a plain equi-join would lose 2 and 3
+    assert out[2]["source"] is None and out[2]["domain_tokens"] == 5
+    assert all(r["sampled"] for r in out.values())  # all under budget
+
+
 def test_budget_validation(spark):
     df = spark.createDataFrame([(0, "s", "a")], "doc_id long, source string, text string")
     with pytest.raises(ValueError):
