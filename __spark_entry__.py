@@ -1367,6 +1367,36 @@ def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alignment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment gate (r6): the LAION/DataComp CLIP-score
+    filter shape — embed caption and image, keep iff cosine >= t — run
+    through the engine's pluggable-encoder operator with the
+    deterministic md5-fake encoders (the container has no CLIP), so the
+    full Spark contract (one Arrow crossing, unit-norm, seq-dot cosine,
+    gate) is value-checked against DuckDB. Threshold 0.1 splits random
+    8-dim fakes; production runs open_clip at ~0.28."""
+    from kenlm_spark.operators.alignment import (
+        alignment_scores,
+        fake_image_encoder,
+        fake_text_encoder,
+    )
+
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.col("doc_id").cast("string").alias("img_key"),
+    )
+    return alignment_scores(
+        pairs,
+        id_col="doc_id",
+        caption_col="text",
+        image_key_col="img_key",
+        text_encoder=fake_text_encoder(8),
+        image_encoder=fake_image_encoder(8),
+        threshold=0.1,
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1766,11 +1796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
         "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
         "q_domain_rebalance": q_domain_rebalance,  # NEW r6 (data mixing)
-        # --- window fill (7; q_word_freq, q_ngram_count_2, q_lm_windows_3,
-        # q_lm_adjusted_2, q_lm_adjusted_1, q_lm_model_pruned, q_lm_model_3
-        # rotated out for the seven new r6 queries — all untouched since
-        # r1, hash-green in CORRECTNESS_r05.json)
-        "q_ngram_count_3": q_ngram_count_3,
+        "q_alignment_filter": q_alignment_filter,  # NEW r6 (CLIP-score gate)
+        # --- window fill (6; q_word_freq, q_ngram_count_2, q_lm_windows_3,
+        # q_lm_adjusted_2, q_lm_adjusted_1, q_lm_model_pruned, q_lm_model_3,
+        # q_ngram_count_3 rotated out for the eight new r6 queries — all
+        # untouched since r1, hash-green in CORRECTNESS_r05.json)
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_exact_stream": q_dedup_exact_stream,
         "q_dedup_minhash": q_dedup_minhash,
@@ -1786,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_adjusted_1": q_lm_adjusted_1,
         "q_lm_model_pruned": q_lm_model_pruned,
         "q_lm_model_3": q_lm_model_3,
+        "q_ngram_count_3": q_ngram_count_3,
         "q_langid": q_langid,
         "q_scrub": q_scrub,
         "q_quality_metrics": q_quality_metrics,
@@ -2099,6 +2130,9 @@ FROM img
         "q_domain_rebalance": __import__(
             "kenlm_spark.operators.mixing", fromlist=["x"]
         ).rebalance_by_domain_sql(budget_tokens_per_domain=800),
+        "q_alignment_filter": __import__(
+            "kenlm_spark.operators.alignment", fromlist=["x"]
+        ).alignment_scores_sql(dim=8, threshold=0.1),
         "q_multimodal_curation": (
             lambda iq=__import__(
                 "kenlm_spark.filtering.image_quality", fromlist=["x"]
