@@ -52,7 +52,15 @@ def _default_factory(path: str):
 
 
 def _get_model(path: str, factory: Callable):
-    key = (path, factory)
+    # Key by path + the factory's NAME, never the function object: a
+    # closure-serialized factory deserializes as a fresh object per
+    # task, so identity-keying would miss the cache on every task and
+    # reload the ~130MB model each time (and leak the old ones).
+    key = (
+        path,
+        getattr(factory, "__module__", ""),
+        getattr(factory, "__qualname__", repr(factory)),
+    )
     if key not in _MODELS:
         _MODELS[key] = factory(path)
     return _MODELS[key]

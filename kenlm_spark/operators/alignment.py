@@ -26,6 +26,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kenlm_spark.operators.similarity import _seq_dot, _seq_sq_norm
 
@@ -99,24 +100,27 @@ def alignment_scores(
         for pdf in batches:
             if not len(pdf):
                 continue
-            t = np.asarray(tenc(list(pdf[caption_col])), dtype=np.float64)
-            im = np.asarray(
-                ienc(list(pdf[image_key_col])), dtype=np.float64
-            )
+            t = np.asarray(tenc(list(pdf["_cap"])), dtype=np.float64)
+            im = np.asarray(ienc(list(pdf["_key"])), dtype=np.float64)
             tn = t / _seq_sq_norm(t)[:, None]
             inn = im / _seq_sq_norm(im)[:, None]
             score = np.round(_seq_dot(tn, inn), 6)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(),
+                    "id": pdf["_id"].to_numpy(),
                     "align_score": score,
                     "keep": score >= threshold,
                 }
             )
 
-    return df.select(id_col, caption_col, image_key_col).mapInPandas(
-        run, "id long, align_score double, keep boolean"
-    )
+    # internal aliases: with the default image_key_col == id_col the
+    # naive 3-column select would duplicate a name, and a duplicated
+    # pandas label silently returns a 2-column frame inside the batch
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(caption_col).alias("_cap"),
+        F.col(image_key_col).alias("_key"),
+    ).mapInPandas(run, "id long, align_score double, keep boolean")
 
 
 def alignment_scores_sql(

@@ -41,10 +41,15 @@ def rebalance_by_domain(
     ~``budget_tokens_per_domain`` training tokens in expectation."""
     if budget_tokens_per_domain <= 0:
         raise ValueError("budget_tokens_per_domain must be positive")
+    # coalesce: NULL text must count 0 tokens exactly like the SQL
+    # twin's sql_tokens (which coalesces internally) — F.size(NULL
+    # array) is NULL, which would poison the domain total
     base = df.select(
         id_col,
         domain_col,
-        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     totals = base.groupBy(domain_col).agg(
         F.sum("n_tokens").alias("domain_tokens")
@@ -66,7 +71,12 @@ def rebalance_by_domain(
         "domain_tokens",
         (
             hmod * F.col("domain_tokens")
-            < F.lit(budget_tokens_per_domain) * F.lit(1_000_000)
+            # cast BEFORE multiplying: int32 literals overflow at plan
+            # time for any budget > 2147 (the SQL twin CASTs likewise);
+            # the hmod * domain_tokens side is int64-safe to ~9.2e12
+            # tokens per domain (hmod < 1e6)
+            < F.lit(budget_tokens_per_domain).cast("long")
+            * F.lit(1_000_000).cast("long")
         ).alias("sampled"),
     )
 

@@ -371,6 +371,13 @@ def phash_near_pairs(
     coarse key (e.g. phash's top byte) or move to a longer hash.
     scripts/bench_scaling_phash.py measures the N->4N scaling of this
     operator at max_hamming=2."""
+    if not 1 <= max_hamming <= 63:
+        # 0 would make the single band's mask 2^64-1 (exceeds BIGINT in
+        # both engines) — and Hamming-0 IS exact dedup: groupBy(phash)
+        raise ValueError(
+            "max_hamming must be in [1, 63]; for exact phash matches "
+            "use an exact groupBy-dedup on the phash column"
+        )
     n_bands = max_hamming + 1
     width = 64 // n_bands
     band_structs = []
@@ -438,6 +445,11 @@ def phash_near_pairs_sql(
     phash values (arithmetic ``>>`` == the Spark side's unsigned shift);
     the engine's synthesized 60-bit hashes satisfy this by construction.
     """
+    if not 1 <= max_hamming <= 63:
+        raise ValueError(
+            "max_hamming must be in [1, 63]; for exact phash matches "
+            "use an exact groupBy-dedup on the phash column"
+        )
     n_bands = max_hamming + 1
     width = 64 // n_bands
     band_rows = []

@@ -83,6 +83,23 @@ def test_real_encoder_shape_is_batch_pluggable(spark):
         assert out[i]["keep"] == (want >= 0.9)
 
 
+def test_default_image_key_equals_id_col(spark):
+    """Regression: image_key_col defaults to id_col — the duplicated
+    column name must not corrupt the batch (pandas returns a 2-column
+    frame for a duplicated label)."""
+    df = spark.createDataFrame(
+        [(7, "some caption")], "image_id long, caption string"
+    )
+    out = alignment_scores(
+        df,
+        text_encoder=fake_text_encoder(8),
+        image_encoder=fake_image_encoder(8),
+        threshold=0.1,
+    ).collect()
+    assert len(out) == 1 and out[0]["id"] == 7
+    assert out[0]["align_score"] == _expected("some caption", 7)
+
+
 def test_missing_encoder_error_is_actionable(spark):
     df = spark.createDataFrame([(1, "hi")], "doc_id long, text string").selectExpr(
         "doc_id", "text", "CAST(doc_id AS STRING) AS img_key"

@@ -48,6 +48,25 @@ def test_null_domain_is_a_group_not_dropped(spark):
     assert all(r["sampled"] for r in out.values())  # all under budget
 
 
+def test_production_scale_budget_and_null_text(spark):
+    """Regression: budgets beyond int32 must not overflow at plan time
+    (real token budgets are millions+), and NULL text counts 0 tokens
+    exactly like the SQL twin."""
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", None)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rebalance_by_domain(
+            df, budget_tokens_per_domain=5_000_000_000
+        ).collect()
+    }
+    assert out[2]["n_tokens"] == 0
+    assert out[1]["domain_tokens"] == 3  # NULL doc contributes 0, not NULL
+    assert all(r["sampled"] for r in out.values())  # huge budget keeps all
+
+
 def test_budget_validation(spark):
     df = spark.createDataFrame([(0, "s", "a")], "doc_id long, source string, text string")
     with pytest.raises(ValueError):

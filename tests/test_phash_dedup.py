@@ -77,6 +77,17 @@ def test_max_bucket_guard_drops_flat_color_storm(spark):
     assert got == {(100, 101)}  # ham(999, 998)=1 survives, storm doesn't
 
 
+def test_max_hamming_bounds_rejected(spark):
+    from kenlm_spark.operators.multimodal import phash_near_pairs_sql
+    import pytest
+
+    df = spark.createDataFrame([(1, 5)], "image_id long, phash long")
+    with pytest.raises(ValueError, match="exact"):
+        phash_near_pairs(df, max_hamming=0)  # mask would exceed BIGINT
+    with pytest.raises(ValueError):
+        phash_near_pairs_sql("t", max_hamming=64)
+
+
 def test_greedy_labels_keep_smallest_id(spark):
     base = 0x0F0F0F0F0F0F0F0F
     rows = [
