@@ -61,14 +61,21 @@ def image_metric_exprs(
 def image_pass_expr(
     metrics: dict[str, Column], cfg: dict | None = None
 ) -> Column:
-    """The image keep decision over ``image_metric_exprs`` output."""
+    """The image keep decision over ``image_metric_exprs`` output.
+
+    NULL metadata FAILS the gate: a row with w/h/bytes NULL (a broken
+    metadata extractor — exactly the corrupt record this gate exists
+    for) would otherwise evaluate the conjunction to SQL NULL and slip
+    past ``~image_pass``, while a NULL fmt was already dropped via its
+    coalesce — the coalesce(False) makes the null policy uniform."""
     t = dict(DEFAULTS, **(cfg or {}))
-    return (
+    return F.coalesce(
         (metrics["min_dim"] >= F.lit(int(t["min_dim"])))
         & (metrics["aspect"] <= F.lit(float(t["max_aspect"])))
         & (metrics["bytes_per_pixel"] >= F.lit(float(t["min_bytes_per_pixel"])))
         & (metrics["bytes_per_pixel"] <= F.lit(float(t["max_bytes_per_pixel"])))
-        & (metrics["fmt_norm"].isin(*[f.lower() for f in t["allowed_fmts"]]))
+        & (metrics["fmt_norm"].isin(*[f.lower() for f in t["allowed_fmts"]])),
+        F.lit(False),
     )
 
 
@@ -99,9 +106,9 @@ def image_pass_sql(
     m = image_quality_sql_exprs(w, h, fmt, bytes_col)
     fmts = ", ".join(f"'{f.lower()}'" for f in t["allowed_fmts"])
     return (
-        f"({m['min_dim']} >= {int(t['min_dim'])}"
+        f"COALESCE(({m['min_dim']} >= {int(t['min_dim'])}"
         f" AND {m['aspect']} <= {float(t['max_aspect'])!r}"
         f" AND {m['bytes_per_pixel']} >= {float(t['min_bytes_per_pixel'])!r}"
         f" AND {m['bytes_per_pixel']} <= {float(t['max_bytes_per_pixel'])!r}"
-        f" AND {m['fmt_norm']} IN ({fmts}))"
+        f" AND {m['fmt_norm']} IN ({fmts})), FALSE)"
     )

@@ -150,14 +150,63 @@ class SparkNGramScorer:
 
         return score_udf
 
+    def masked_udf(self):
+        """Scorer that SKIPS rows whose mask is false — they get NULL
+        score columns without paying tokenize/lookup/score. Catalyst
+        extracts Python UDFs out of CASE WHEN, so `F.when(mask, udf(c))`
+        still evaluates the UDF for every row; masking must happen
+        inside the batch, which this UDF does (the 10^12-scale
+        cheap-gate-first contract of FilterConfig.image_rules)."""
+        bc = self._bc
+        stupid = self._stupid
+        max_tokens = self._max_batch_tokens
+
+        @pandas_udf(SCORE_SCHEMA)
+        def score_masked_udf(
+            texts: pd.Series, mask: pd.Series
+        ) -> pd.DataFrame:
+            m = mask.fillna(False).to_numpy(dtype=bool)
+            n = len(texts)
+            out = pd.DataFrame(
+                {
+                    "log10_prob": pd.array([None] * n, dtype="Float64"),
+                    "perplexity": pd.array([None] * n, dtype="Float64"),
+                    "oov_count": pd.array([None] * n, dtype="Int64"),
+                    "n_tokens": pd.array([None] * n, dtype="Int64"),
+                }
+            )
+            if m.any():
+                sub = _score_frame(
+                    bc.value,
+                    texts[m].reset_index(drop=True),
+                    stupid,
+                    max_tokens,
+                )
+                for c in out.columns:
+                    out.loc[m, c] = sub[c].to_numpy()
+            return out
+
+        return score_masked_udf
+
     def score_col(self, text_col: Column | str) -> Column:
         c = F.col(text_col) if isinstance(text_col, str) else text_col
         return self.udf()(c)
 
     def with_scores(
-        self, df: DataFrame, text_col: str = "caption", prefix: str = "lm_"
+        self,
+        df: DataFrame,
+        text_col: str = "caption",
+        prefix: str = "lm_",
+        mask_col: str | None = None,
     ) -> DataFrame:
-        s = self.score_col(text_col).alias("_lm")
+        """Append score columns. With ``mask_col``, rows where the mask
+        is false/NULL skip scoring entirely and get NULL columns."""
+        if mask_col is not None:
+            s = self.masked_udf()(F.col(text_col), F.col(mask_col)).alias(
+                "_lm"
+            )
+        else:
+            s = self.score_col(text_col).alias("_lm")
         return df.withColumn("_lm", s).select(
             "*",
             F.col("_lm.log10_prob").alias(f"{prefix}log10_prob"),

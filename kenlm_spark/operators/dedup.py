@@ -733,6 +733,12 @@ def contamination_check(
 
     bench_g = grams(benchmark).select("gh").distinct()
     if broadcast is None:
+        # persist across the size probe and the real join: without it
+        # the benchmark-side explode+hash+distinct runs twice (once for
+        # this count, again when the joined result executes). The set is
+        # <= max_broadcast_hashes rows when it matters; it stays cached
+        # for the job's lifetime (same footprint as the broadcast).
+        bench_g = bench_g.persist()
         n_hashes = bench_g.count()
         broadcast = n_hashes <= max_broadcast_hashes
         if not broadcast:

@@ -227,8 +227,30 @@ class QualityFilterPipeline:
         )
         lang_fn = cfg.langid_expr or lang_expr
         df = df.withColumn("lang_pred", lang_fn(F.col(text_col)))
+        # Cheapest gate FIRST: the decode-free image-metadata rules are
+        # pure Catalyst over (w, h, fmt, bytes), so they are computed
+        # before the LM crossing and — on the broadcast scorer path —
+        # gated rows skip tokenize/lookup/score inside the batch (NULL
+        # lm_ columns; masking must live inside the UDF because Catalyst
+        # extracts Python UDFs out of CASE WHEN). The join-scorer path
+        # still scores every row: its work is a relational join, and
+        # pre-filtering there would split the corpus scan in two.
+        if cfg.image_rules is not None:
+            from kenlm_spark.filtering.image_quality import (
+                image_metric_exprs,
+                image_pass_expr,
+            )
+
+            im = image_metric_exprs()
+            df = df.withColumn(
+                "image_pass", image_pass_expr(im, cfg.image_rules)
+            )
         if cfg.scorer_mode == "join":
             df = self._with_join_scores(df, text_col)
+        elif cfg.image_rules is not None:
+            df = self.scorer.with_scores(
+                df, text_col, prefix="lm_", mask_col="image_pass"
+            )
         else:
             df = self.scorer.with_scores(df, text_col, prefix="lm_")
         metrics = quality_metric_exprs(text_col, cfg.quality)
@@ -246,15 +268,9 @@ class QualityFilterPipeline:
 
         reason = F.when(~F.col("quality_pass"), F.lit("quality"))
         if cfg.image_rules is not None:
-            from kenlm_spark.filtering.image_quality import (
-                image_metric_exprs,
-                image_pass_expr,
-            )
-
-            im = image_metric_exprs()
-            df = df.withColumn(
-                "image_pass", image_pass_expr(im, cfg.image_rules)
-            )
+            # image_pass was computed BEFORE scoring (cheap-gate-first);
+            # it leads the reason chain, so gated rows' NULL lm_ columns
+            # never reach the lang/oov/perplexity predicates
             reason = F.when(~F.col("image_pass"), F.lit("image")).when(
                 ~F.col("quality_pass"), F.lit("quality")
             )

@@ -156,12 +156,36 @@ def observe_filter_metrics(
 
 
 def observed_totals(query, name: str = "filter_metrics") -> dict:
-    """Sum a named observation across every micro-batch of a streaming
+    """Sum a named observation across the micro-batches of a streaming
     query (running or finished): the job-level rollup of the per-batch
     ``observedMetrics``. Batches that carried no data for the observed
-    subtree are skipped."""
+    subtree are skipped.
+
+    Spark retains only the last ``spark.sql.streaming.
+    numRecentProgressUpdates`` (default 100) progress entries, so this
+    RAISES when the query has hit that cap — a silent sum over a
+    truncated window would underreport. Long-running production queries
+    must accumulate per batch instead: attach
+    :class:`ObservedMetricsListener` before starting the query."""
+    progress = list(query.recentProgress)
+    try:
+        cap = int(
+            query.sparkSession.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+        )
+    except Exception:
+        cap = 100
+    if len(progress) >= cap:
+        raise RuntimeError(
+            f"observed_totals: query '{query.name}' has >= {cap} progress "
+            "entries — Spark retains only the most recent "
+            "numRecentProgressUpdates, so summing recentProgress would "
+            "silently drop earlier batches. Attach ObservedMetricsListener "
+            "before start() (or raise the conf) for long streams."
+        )
     totals: dict = {}
-    for p in query.recentProgress:
+    for p in progress:
         row = (p.observedMetrics or {}).get(name)
         if row is None:
             continue
@@ -171,15 +195,57 @@ def observed_totals(query, name: str = "filter_metrics") -> dict:
     return totals
 
 
+class ObservedMetricsListener:
+    """StreamingQueryListener accumulating a named observation per batch
+    — the unbounded-stream twin of :func:`observed_totals` (which is
+    capped by Spark's recentProgress retention). Register with
+    ``spark.streams.addListener(listener)`` BEFORE starting the query;
+    read ``listener.totals`` any time.
+    """
+
+    def __new__(cls, name: str = "filter_metrics"):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def __init__(self, metric_name: str):
+                self.metric_name = metric_name
+                self.totals: dict = {}
+                self.n_batches = 0
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                om = event.progress.observedMetrics or {}
+                row = om.get(self.metric_name)
+                if row is None:
+                    return
+                self.n_batches += 1
+                for k, v in row.asDict().items():
+                    if v is not None:
+                        self.totals[k] = self.totals.get(k, 0) + v
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _L(name)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str | None = None
 ) -> list:
     """Drain a bounded stream into a memory sink; return the rows.
 
     The finished ``StreamingQuery`` is exposed as
-    ``run_available_now.last_query`` so callers can read per-batch
-    progress / ``observedMetrics`` without changing the long-standing
-    rows return type.
+    ``run_available_now.queries[query_name]`` (and, for the latest
+    call, ``run_available_now.last_query``) so callers can read
+    per-batch progress / ``observedMetrics`` without changing the
+    long-standing rows return type. The name-keyed registry is the one
+    to use when draining more than one stream — ``last_query`` is a
+    process-global that a concurrent drain overwrites.
     """
     if output_mode is None:
         output_mode = (
@@ -196,6 +262,9 @@ def run_available_now(
     )
     q.awaitTermination(300)
     run_available_now.last_query = q
+    if not hasattr(run_available_now, "queries"):
+        run_available_now.queries = {}
+    run_available_now.queries[query_name] = q
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 

@@ -201,6 +201,68 @@ def test_image_quality_rules_unit(spark):
     }
 
 
+def test_image_gate_null_metadata_fails(spark):
+    """NULL w/h/bytes (a broken metadata extractor — exactly the corrupt
+    record the gate exists for) must FAIL the gate, not slip through a
+    SQL-NULL conjunction; fmt NULL already failed via its coalesce."""
+    from kenlm_spark.filtering.image_quality import (
+        image_metric_exprs,
+        image_pass_expr,
+    )
+
+    rows = [
+        ("null_w", None, 100, "png", b"\x00" * 1000),
+        ("null_h", 100, None, "png", b"\x00" * 1000),
+        ("null_b", 100, 100, "png", None),
+        ("null_f", 100, 100, None, b"\x00" * 1000),
+        ("ok", 100, 100, "png", b"\x00" * 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, bytes binary"
+    )
+    got = {
+        r["image_id"]: r["p"]
+        for r in df.select(
+            "image_id", image_pass_expr(image_metric_exprs()).alias("p")
+        ).collect()
+    }
+    assert got == {
+        "null_w": False, "null_h": False, "null_b": False,
+        "null_f": False, "ok": True,
+    }
+    assert all(v is not None for v in got.values())  # never SQL NULL
+
+
+def test_image_gate_skips_scoring_for_gated_rows(spark, arpa_model):
+    """Cheap-gate-first: rows failing the image gate skip the LM scorer
+    inside the Arrow batch — NULL lm_ columns, drop_reason 'image' —
+    while pass rows score bit-identically to the ungated pipeline."""
+    from kenlm_spark.data import generate_images
+
+    images = generate_images(spark, n_rows=120, seed=5)
+    rows = (
+        QualityFilterPipeline(
+            spark, arpa_model, FilterConfig(image_rules={"min_dim": 12})
+        )
+        .run(images)
+        .collect()
+    )
+    base = {
+        r["image_id"]: r["lm_log10_prob"]
+        for r in QualityFilterPipeline(spark, arpa_model)
+        .run(images)
+        .collect()
+    }
+    gated = [r for r in rows if not r["image_pass"]]
+    passed = [r for r in rows if r["image_pass"]]
+    assert gated and passed
+    for r in gated:
+        assert r["lm_log10_prob"] is None and r["lm_n_tokens"] is None
+        assert r["drop_reason"] == "image"
+    for r in passed:
+        assert r["lm_log10_prob"] == base[r["image_id"]]
+
+
 def test_image_rules_gate_stream_matches_batch(spark, arpa_model, tmp_path):
     """The image gate is Catalyst-only, so it must run UNCHANGED on a
     streaming DataFrame: filtered_captions_stream with image_rules ==
@@ -251,6 +313,51 @@ def test_run_observed_single_pass_matches_recompute(spark, arpa_model):
     }
     assert got == want
     assert got["n_keep"] + got["n_drop"] == 200
+
+
+def test_observed_totals_cap_guard_and_listener(spark, arpa_model, tmp_path):
+    """observed_totals must REFUSE to sum a recentProgress window at
+    Spark's retention cap (it would silently drop earlier batches);
+    ObservedMetricsListener is the unbounded accumulation path and must
+    agree with observed_totals on a short drain."""
+    import time
+
+    import pytest
+
+    from kenlm_spark.streaming.jobs import (
+        ObservedMetricsListener,
+        filtered_captions_stream,
+        observe_filter_metrics,
+        observed_totals,
+        run_available_now,
+    )
+
+    class _FakeAtCap:
+        name = "fake"
+        sparkSession = spark
+        recentProgress = [None] * 100
+
+    with pytest.raises(RuntimeError, match="numRecentProgressUpdates"):
+        observed_totals(_FakeAtCap())
+
+    src = str(tmp_path / "imgs")
+    generate_images(spark, n_rows=80, seed=3).write.parquet(src)
+    listener = ObservedMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = observe_filter_metrics(
+            filtered_captions_stream(spark, src, arpa_model)
+        )
+        run_available_now(stream.select("image_id", "keep"), "obs_cap_t")
+        q = run_available_now.queries["obs_cap_t"]
+        want = observed_totals(q)
+        for _ in range(60):  # listener events are delivered async
+            if listener.totals.get("n_rows") == want.get("n_rows"):
+                break
+            time.sleep(0.5)
+        assert listener.totals == want and want["n_rows"] == 80
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def test_streaming_observed_metrics_match_batch(spark, arpa_model, tmp_path):
