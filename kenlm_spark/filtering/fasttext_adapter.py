@@ -51,15 +51,51 @@ def _default_factory(path: str):
     return fasttext.load_model(path)
 
 
-def _get_model(path: str, factory: Callable):
-    # Key by path + the factory's NAME, never the function object: a
-    # closure-serialized factory deserializes as a fresh object per
-    # task, so identity-keying would miss the cache on every task and
-    # reload the ~130MB model each time (and leak the old ones).
+def _factory_fingerprint(factory: Callable) -> str:
+    """Stable-per-task, distinct-per-behavior key component: name alone
+    collides for two lambdas/closures sharing a qualname but carrying
+    different bound state, so fold in a hash of the code object and the
+    closure/default values' reprs. cloudpickle re-deserializes the same
+    factory to an object with IDENTICAL code bytes and cell values, so
+    this still hits the cache across tasks."""
+    import hashlib
+
+    code = getattr(factory, "__code__", None)
+    if code is None:  # bound methods / callables: fall back to name
+        return repr(type(factory)) + getattr(factory, "__qualname__", "")
+    cells = getattr(factory, "__closure__", None) or ()
+    cell_vals = []
+    for c in cells:
+        try:
+            cell_vals.append(repr(c.cell_contents))
+        except ValueError:  # empty cell
+            cell_vals.append("<empty>")
+    payload = (
+        code.co_code
+        + repr(code.co_consts).encode()
+        + repr(cell_vals).encode()
+        + repr(getattr(factory, "__defaults__", None)).encode()
+    )
+    return hashlib.md5(payload).hexdigest()
+
+
+def _get_model(path: str, factory: Callable, cache_token: str | None = None):
+    # Key by path + a behavior fingerprint of the factory, never the
+    # function object: a closure-serialized factory deserializes as a
+    # fresh object per task, so identity-keying would miss the cache on
+    # every task and reload the ~130MB model each time (and leak the old
+    # ones). The fingerprint hashes code + closure state so two distinct
+    # factories sharing a __qualname__ cannot collide; callers can pin
+    # an explicit ``cache_token`` instead.
     key = (
         path,
-        getattr(factory, "__module__", ""),
-        getattr(factory, "__qualname__", repr(factory)),
+        cache_token
+        if cache_token is not None
+        else (
+            getattr(factory, "__module__", ""),
+            getattr(factory, "__qualname__", repr(factory)),
+            _factory_fingerprint(factory),
+        ),
     )
     if key not in _MODELS:
         _MODELS[key] = factory(path)

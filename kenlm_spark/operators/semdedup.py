@@ -20,7 +20,12 @@ Spark-first shape:
   clusters and blind across them by construction (that locality is the
   point: at 10^12 rows, n_cells scales with the corpus so cells stay
   bounded; `max_cell` guards degenerate clusters the same way
-  `max_bucket` guards LSH buckets, dropping them from pairing).
+  `max_bucket` guards LSH buckets, dropping them from pairing). The
+  default cap is sibling-scale (5,000 — a few× the LSH/phash
+  ``max_bucket=2000`` since cells are coarser than buckets): the
+  in-cell join is O(m²), so one just-under-cap cell costs ≤ ~12.5M
+  pairs — bounded even if an all-zero-embedding shard lands in one
+  cell. Callers in the paper's 50k-cells regime can raise it knowingly.
 * the dropped-id set is pair-bounded and broadcasts back onto the
   corpus spine for keep labels — no corpus-keyed shuffle after the
   cell join.
@@ -52,7 +57,7 @@ def semdedup_labels(
     iters: int = 5,
     sample: int = 4096,
     sample_frac: float = 0.5,
-    max_cell: int = 100_000,
+    max_cell: int = 5_000,
     broadcast_drops: bool = True,
 ) -> DataFrame:
     """(nid, cell, c_sim, keep) — SemDeDup keep/drop labels.
@@ -267,7 +272,7 @@ def semdedup_sql(
     iters: int = 5,
     sample: int = 4096,
     sample_frac: float = 0.5,
-    max_cell: int = 100_000,
+    max_cell: int = 5_000,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -168,14 +168,22 @@ def observed_totals(query, name: str = "filter_metrics") -> dict:
     must accumulate per batch instead: attach
     :class:`ObservedMetricsListener` before starting the query."""
     progress = list(query.recentProgress)
+    # StreamingQuery carries no sparkSession handle in pyspark 4.x —
+    # read the retention conf off the active session so a user-raised
+    # numRecentProgressUpdates actually raises the cap here too
+    cap = 100
     try:
-        cap = int(
-            query.sparkSession.conf.get(
-                "spark.sql.streaming.numRecentProgressUpdates", "100"
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        if session is not None:
+            cap = int(
+                session.conf.get(
+                    "spark.sql.streaming.numRecentProgressUpdates", "100"
+                )
             )
-        )
     except Exception:
-        cap = 100
+        pass
     if len(progress) >= cap:
         raise RuntimeError(
             f"observed_totals: query '{query.name}' has >= {cap} progress "

@@ -226,3 +226,53 @@ def test_dsir_hot_bucket_stopword_storm(spark):
     by = {r["is_med"]: r for r in agg}
     # every target-like doc outweighs every boilerplate doc
     assert by[True]["lo"] > by[False]["hi"]
+
+
+def test_semdedup_degenerate_cell_at_guard_boundary(spark):
+    """SemDeDup under a dead encoder: 30k identical embeddings collapse
+    into ONE k-means cell (the all-zero/constant-embedding shard shape).
+    The max_cell guard must drop that cell from pairing BEFORE the
+    O(m^2) self-join — 30k would otherwise emit ~450M candidate pairs —
+    while a second cell sitting exactly AT the cap is still paired in
+    full (the worst-allowed case, ~2M pairs) and resolves exactly: all
+    members are identical, so every pair ties on c_sim and the larger id
+    loses — exactly one survivor, the smallest id."""
+    from kenlm_spark.operators.semdedup import semdedup_labels
+
+    cap = 2_000
+    n_over, at_cap = 30_000, cap
+    # interleaved ids (even=over, odd=boundary) so Lloyd's first-k-by-id
+    # seeds see BOTH directions and split the space into two cells
+    over = spark.range(n_over).select(
+        (F.col("id") * 2).alias("vec_id"),
+        F.array(*[F.lit(x) for x in (10.0, 0.0, 0.0, 0.0)]).alias("embedding"),
+    )
+    boundary = spark.range(at_cap).select(
+        (F.col("id") * 2 + 1).alias("vec_id"),
+        F.array(*[F.lit(x) for x in (0.0, 10.0, 0.0, 0.0)]).alias("embedding"),
+    )
+    emb = over.unionByName(boundary)
+
+    t0 = time.perf_counter()
+    out = semdedup_labels(
+        emb, tau=0.95, n_cells=2, iters=3, sample_frac=1.0, max_cell=cap
+    )
+    agg = (
+        out.withColumn("is_over", F.col("nid") % 2 == 0)
+        .groupBy("is_over")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.min(F.when(F.col("keep"), F.col("nid"))).alias("min_kept"),
+        )
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+    by = {r["is_over"]: r for r in agg}
+    # over-cap cell: guard drops it from pairing -> everything keeps
+    assert by[True]["n"] == n_over and by[True]["n_keep"] == n_over
+    # at-cap cell: fully paired, identical members -> one survivor (min id)
+    assert by[False]["n"] == at_cap and by[False]["n_keep"] == 1
+    assert by[False]["min_kept"] == 1
+    # wall bound: linear in the guarded cell, quadratic only under the cap
+    assert wall < 90.0, wall
