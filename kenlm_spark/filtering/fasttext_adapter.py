@@ -103,13 +103,18 @@ def _get_model(path: str, factory: Callable, cache_token: str | None = None):
 
 
 def fasttext_langid_expr(
-    model_path: str, model_factory: Callable | None = None
+    model_path: str,
+    model_factory: Callable | None = None,
+    cache_token: str | None = None,
 ) -> Callable[[Column], Column]:
     """Build a ``FilterConfig.langid_expr`` replacement using fastText.
 
     ``model_factory(path)`` must return an object with fastText's
     ``predict(list[str], k=1) -> (labels, probs)`` API where each label
     is ``__label__<code>``; defaults to ``fasttext.load_model``.
+    ``cache_token`` pins the per-executor cache key explicitly when the
+    factory's code/closure fingerprint is not the right identity (e.g.
+    a factory reading mutable global config).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -118,7 +123,7 @@ def fasttext_langid_expr(
 
     @F.pandas_udf(StringType())
     def _ft_lang(texts: pd.Series) -> pd.Series:
-        model = _get_model(model_path, factory)
+        model = _get_model(model_path, factory, cache_token)
         # fastText rejects embedded newlines; predict the whole Arrow
         # batch in one call (its C++ loop, not a Python per-row loop).
         clean = [

@@ -73,3 +73,26 @@ def test_missing_library_error_is_actionable(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     with pytest.raises(Exception, match="fasttext"):
         df.select(expr(F.col("text"))).collect()
+
+
+def test_cache_distinguishes_same_qualname_factories():
+    """Two closures share a __qualname__ but carry different bound state
+    — the code+closure fingerprint must keep their cache entries apart
+    (name-only keying silently returned the wrong model)."""
+    from kenlm_spark.filtering.fasttext_adapter import _get_model
+
+    def make(tag):
+        def factory(path):  # same __qualname__ for every tag
+            return ("model", tag, path)
+
+        return factory
+
+    a = _get_model("/m.bin", make("A"))
+    b = _get_model("/m.bin", make("B"))
+    assert a == ("model", "A", "/m.bin")
+    assert b == ("model", "B", "/m.bin")
+    # same factory state -> cache HIT (no reload)
+    assert _get_model("/m.bin", make("A")) is a
+    # explicit token pins the key regardless of factory identity
+    c = _get_model("/m.bin", make("C"), cache_token="pinned")
+    assert _get_model("/m.bin", make("D"), cache_token="pinned") is c
