@@ -1130,6 +1130,32 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale DSIR selection (r7): keep ~25% of the raw corpus by
+    importance weight via a sampled-quantile threshold — the selection
+    is a map-only filter (no TakeOrderedAndProject, so the kept set may
+    exceed driver memory; that is dsir_topk's limit). The threshold rank
+    runs over a bounded hash-threshold sample; here sample_frac=1.0
+    (the toy corpus IS sample-sized) — at 100 TB pick ~1e6/corpus."""
+    from kenlm_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select_by_quantile,
+    )
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    w = dsir_log_weights(raw, target, "doc_id", "text")
+    sel = dsir_select_by_quantile(w, keep_frac=0.25, sample_frac=1.0)
+    return sel.select(
+        F.col("id").alias("doc_id"),
+        "n_feats",
+        "log_w",
+        "threshold",
+        "selected",
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity partitioning (r6; Wenzek et al. 2020):
     bucket every document head/middle/tail by LM log10-perplexity
@@ -1788,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_metrics": q_filter_metrics,  # NEW r6 (observed-metrics twin)
         "q_image_quality": q_image_quality,  # NEW r6 (image-payload gate)
         "q_dsir_weights": q_dsir_weights,  # NEW r6 (importance resampling)
+        "q_dsir_select": q_dsir_select,  # NEW r7 (corpus-scale selection)
         "q_ccnet_buckets": q_ccnet_buckets,  # NEW r6 (ppl partitioning)
         "q_dedup_phash": q_dedup_phash,  # NEW r6 (image phash near-dup)
         "q_dedup_semantic": q_dedup_semantic,  # NEW r6 (SemDeDup)
@@ -2088,6 +2115,12 @@ FROM img
             "kenlm_spark.operators.dsir", fromlist=["x"]
         ).dsir_weights_sql(
             "documents", "id % 7 = 0", "id % 7 <> 0", "doc_id", "text"
+        ),
+        "q_dsir_select": __import__(
+            "kenlm_spark.operators.dsir", fromlist=["x"]
+        ).dsir_select_sql(
+            0.25, 1.0, "documents", "id % 7 = 0", "id % 7 <> 0",
+            "doc_id", "text",
         ),
         "q_ccnet_buckets": f"""
 WITH s AS ({score_raw}),

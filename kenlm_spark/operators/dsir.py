@@ -152,10 +152,88 @@ def dsir_topk(weights: DataFrame, k: int) -> DataFrame:
 
     ``orderBy().limit()`` plans as TakeOrderedAndProject: each partition
     keeps its local top-k and the driver merges — no global sort shuffle,
-    so this holds at 100 TB for any k that fits the driver (for
-    corpus-sized selections use a threshold from
-    ``F.percentile`` / a sampled quantile instead)."""
+    so this holds at 100 TB for any k that fits the driver. For
+    corpus-sized selections (k beyond driver memory) use
+    :func:`dsir_select_by_quantile`."""
     return weights.orderBy(F.desc("log_w"), F.asc("id")).limit(k)
+
+
+_SEL_SALT = "dsirsel:"
+
+
+def dsir_select_by_quantile(
+    weights: DataFrame,
+    keep_frac: float,
+    sample_frac: float = 1.0,
+) -> DataFrame:
+    """(id, n_feats, log_w, threshold, selected) — corpus-scale DSIR
+    selection: keep ~``keep_frac`` of the corpus by importance weight,
+    with NO driver-sized structure anywhere (the selection itself is a
+    map-only filter, so its size may exceed driver memory — the
+    limitation :func:`dsir_topk` has).
+
+    The threshold is a sampled quantile computed engine-exactly (no
+    approxQuantile — Greenwald-Khanna sketches are
+    implementation-specific and would never hash-match a twin):
+
+    1. sample weight rows by the deterministic hash threshold
+       ``h60(salt || id) % 1e6 < sample_frac * 1e6`` (bit-exact across
+       engines; at 100 TB pick ``sample_frac`` so the sample is ~1e6
+       rows);
+    2. rank the SAMPLE by (rounded log_w DESC, id ASC) — a single-task
+       sort, bounded by the sample size, never the corpus;
+    3. threshold = the ``ceil(keep_frac * m)``-th sampled weight
+       (m = sample size, both computed lazily in the same DAG — no
+       collect);
+    4. selected = rounded ``log_w >= threshold`` — ties at the boundary
+       all keep (selection size is ~keep_frac, binomial-sampling-exact).
+
+    ``log_w`` in the output is rounded at 6 (the cross-engine parity
+    contract: the threshold is one of these rounded values, so the
+    boundary comparison cannot flip on last-ulp drift). An empty sample
+    (or empty corpus) yields threshold NULL and selected FALSE for all.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    if not 0.0 < sample_frac <= 1.0:
+        raise ValueError("sample_frac must be in (0, 1]")
+    from pyspark.sql import Window
+
+    w = weights.select(
+        "id", "n_feats", F.round("log_w", 6).alias("log_w")
+    )
+    hmod = F.pmod(
+        h60(F.concat(F.lit(_SEL_SALT), F.col("id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    samp = w.filter(hmod < int(sample_frac * 1_000_000)).select("id", "log_w")
+    # partition-less Window: deliberate — the sample is bounded by
+    # construction (one task sorts ~1e6 rows), the corpus never is
+    ranked = samp.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("log_w"), F.asc("id"))),
+    )
+    m = samp.agg(F.count(F.lit(1)).alias("m"))
+    # ceil(keep_frac * m) in identical double math on both engines;
+    # min() over the rn==k row keeps this a 1-row DF even when the
+    # sample is empty (threshold NULL -> selected coalesces to FALSE)
+    thr = (
+        ranked.crossJoin(m)
+        .filter(
+            F.col("rn")
+            == F.ceil(F.lit(float(keep_frac)) * F.col("m")).cast("long")
+        )
+        .agg(F.min("log_w").alias("threshold"))
+    )
+    return w.crossJoin(F.broadcast(thr)).select(
+        "id",
+        "n_feats",
+        "log_w",
+        "threshold",
+        F.coalesce(
+            F.col("log_w") >= F.col("threshold"), F.lit(False)
+        ).alias("selected"),
+    )
 
 
 # ----------------------------------------------------------------- SQL twin
@@ -222,4 +300,49 @@ SELECT d.id AS doc_id,
        round(coalesce(w.log_w, 0.0), 6) > 0.0 AS selected
 FROM (SELECT id FROM (SELECT {id_col} AS id FROM {table}) b WHERE {raw_where}) d
 LEFT JOIN w ON d.id = w.id
+"""
+
+
+def dsir_select_sql(
+    keep_frac: float,
+    sample_frac: float = 1.0,
+    table: str = "documents",
+    target_where: str = "id % 7 = 0",
+    raw_where: str = "id % 7 <> 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_select_by_quantile` over the
+    :func:`dsir_weights_sql` weights (wrapped as a CTE — nested WITH
+    inside a CTE subquery is legal in DuckDB). Mirrors the hash-threshold
+    sample, the (log_w DESC, id ASC) rank, the ceil(keep_frac * m)
+    threshold pick, and the NULL-threshold -> FALSE coalesce."""
+    base = dsir_weights_sql(
+        table, target_where, raw_where, id_col, text_col, n_buckets
+    )
+    h = (
+        f"CAST(('0x' || substring(md5('{_SEL_SALT}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH base AS ({base}),
+samp AS (
+  SELECT doc_id, log_w FROM base
+  WHERE ((({h} % 1000000) + 1000000) % 1000000) < {int(sample_frac * 1_000_000)}
+),
+m AS (SELECT count(*) AS m FROM samp),
+ranked AS (
+  SELECT log_w,
+         row_number() OVER (ORDER BY log_w DESC, doc_id ASC) AS rn
+  FROM samp
+),
+thr AS (
+  SELECT min(log_w) AS threshold
+  FROM ranked, m
+  WHERE rn = CAST(ceil({float(keep_frac)} * m) AS BIGINT)
+)
+SELECT b.doc_id, b.n_feats, b.log_w, t.threshold,
+       coalesce(b.log_w >= t.threshold, false) AS selected
+FROM base b, thr t
 """

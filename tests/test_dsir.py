@@ -77,3 +77,94 @@ def test_dsir_empty_target_degenerates_to_uniform_prior(spark, corpora):
     # With no target evidence every bucket ratio is ln(uniform/p_raw):
     # weights are finite and defined for every doc (no NaN/null).
     assert all(r["log_w"] is not None for r in w)
+
+
+def test_dsir_select_by_quantile_semantics(spark, corpora):
+    from kenlm_spark.operators.dsir import dsir_select_by_quantile
+
+    raw, target = corpora
+    w = dsir_log_weights(raw, target)
+    sel = dsir_select_by_quantile(w, keep_frac=0.2, sample_frac=1.0)
+    rows = {r["id"]: r for r in sel.collect()}
+    assert len(rows) == 101  # every weighted doc labeled, none dropped
+    # ceil(0.2 * 101) = 21 ranks; ties at the boundary all keep. At toy
+    # scale the add-one prior pulls every populated doc negative, so the
+    # featureless doc's neutral 0.0 ranks FIRST, then the 20 (tied)
+    # medical docs — rank 21 is the medical weight, and kept = the empty
+    # doc + all 20 medical docs.
+    kept = sorted(i for i, r in rows.items() if r["selected"])
+    assert kept == list(range(20)) + [100]
+    thr = {r["threshold"] for r in rows.values()}
+    assert len(thr) == 1  # single threshold, broadcast to every row
+    assert thr == {rows[0]["log_w"]}  # == the tied medical weight
+    # selection is threshold-consistent
+    for r in rows.values():
+        assert r["selected"] == (r["log_w"] >= r["threshold"])
+
+
+def test_dsir_select_is_map_only_filter_not_topk(spark, corpora):
+    """The scale contract: the selection must NOT be a
+    TakeOrderedAndProject over the corpus (that bounds k by driver
+    memory) — the corpus side sees only a broadcast of the 1-row
+    threshold; the only sort is the bounded sample rank."""
+    from kenlm_spark.operators.dsir import dsir_select_by_quantile
+
+    raw, target = corpora
+    w = dsir_log_weights(raw, target)
+    sel = dsir_select_by_quantile(w, keep_frac=0.2, sample_frac=1.0)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" not in final
+    assert "BroadcastNestedLoopJoin" in final  # 1-row threshold crossJoin
+
+
+def test_dsir_select_empty_sample_selects_nothing(spark, corpora):
+    from kenlm_spark.operators.dsir import dsir_select_by_quantile
+
+    raw, target = corpora
+    w = dsir_log_weights(raw, target).filter(F.lit(False))
+    sel = dsir_select_by_quantile(w, keep_frac=0.5).collect()
+    assert sel == []
+    # non-empty corpus but keep_frac validation
+    import pytest as _pytest
+
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError):
+            dsir_select_by_quantile(w, keep_frac=bad)
+    with _pytest.raises(ValueError):
+        dsir_select_by_quantile(w, keep_frac=0.5, sample_frac=0.0)
+
+
+def test_dsir_select_subsample_threshold_close_to_exact(spark):
+    """sample_frac < 1: the threshold comes from the hash sample but is
+    applied corpus-wide; on a smooth weight distribution the selected
+    fraction stays near keep_frac."""
+    from kenlm_spark.operators.dsir import dsir_select_by_quantile
+
+    n = 4000
+    # a per-doc unique token breaks weight ties (each lands in its own
+    # hash bucket with its own ratio) — tie plateaus at the threshold
+    # would otherwise keep whole groups and overshoot keep_frac
+    raw = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("word"), (F.col("id") % 997).cast("string"),
+            F.lit(" filler text common u"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    target = spark.range(50).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(
+            F.lit("word"), (F.col("id") % 97).cast("string"),
+            F.lit(" filler text common"),
+        ).alias("text"),
+    )
+    w = dsir_log_weights(raw, target)
+    sel = dsir_select_by_quantile(w, keep_frac=0.3, sample_frac=0.25)
+    got = sel.agg(
+        F.sum(F.col("selected").cast("long")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    frac = got["k"] / got["n"]
+    # sampled-quantile noise (m ~ 1000) around 0.3; weights are unique
+    assert 0.2 < frac < 0.4, frac
