@@ -1257,6 +1257,81 @@ _IMAGE_PAYLOAD_SQL = """doc_id,
                       CAST(doc_id % 512 AS INT) + 1)) AS bytes"""
 
 
+def _curation_full_oracle_sql() -> str:
+    """DuckDB twin of q_curation_full, assembled from the standalone
+    twins: the image payload/phash/caption-hash spine, the phash banding
+    pipeline, the caption dup-groups agg, the alignment fake-encoder
+    cosine, and the shared k-means + SemDeDup CTEs over the SAME fake
+    image embeddings the alignment stage derives."""
+    from kenlm_spark.filtering import image_quality as iq
+    from kenlm_spark.operators import dedup
+    from kenlm_spark.operators import multimodal as mm
+    from kenlm_spark.operators.alignment import (
+        alignment_scores_sql,
+        fake_vec_sql,
+    )
+    from kenlm_spark.operators.ivf import kmeans_assign_ctes
+    from kenlm_spark.operators.semdedup import semdedup_label_ctes
+
+    p = _CURATION_FULL
+    # the k-means/SemDeDup source: the alignment twin's image embedding
+    # expression, exactly (coalesce-wrapped key, same salt/dim)
+    emb = fake_vec_sql(
+        "ai:", "coalesce(CAST(doc_id AS VARCHAR), '')", p["dim"]
+    )
+    esrc = f"(SELECT doc_id AS vec_id, {emb} AS embedding FROM documents) _esrc"
+    sem_ctes = ",\n".join(
+        semdedup_label_ctes(
+            kmeans_assign_ctes(
+                p["n_cells"], p["iters"], p["sample"], p["sample_frac"],
+                esrc, "vec_id", "embedding",
+            ),
+            p["tau"], p["max_cell"], p["iters"],
+        )
+    )
+    return f"""
+WITH img AS (
+  SELECT {_IMAGE_PAYLOAD_SQL},
+         {_PHASH_EXPR_SQL} AS phash,
+         {dedup._h60_sql(dedup._norm_sql('text'))} AS _th
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, phash, _th, {iq.image_pass_sql()} AS image_pass FROM img
+),
+pp AS ({mm.phash_near_pairs_sql('sp', 'doc_id', 'phash').strip()}),
+pdrop AS (SELECT DISTINCT id_b FROM pp),
+dupg AS (
+  SELECT _th, MIN(doc_id) AS keep_id
+  FROM sp GROUP BY _th HAVING count(*) > 1
+),
+al AS ({alignment_scores_sql(
+        dim=p["dim"], threshold=p["align_threshold"]).strip()}),
+{sem_ctes},
+lab AS (
+  SELECT s.doc_id, s.image_pass,
+         s.doc_id NOT IN (SELECT id_b FROM pdrop) AS image_canonical,
+         (d.keep_id IS NULL OR s.doc_id = d.keep_id) AS caption_canonical,
+         a.align_score, a.keep AS aligned,
+         s.doc_id NOT IN (SELECT nid FROM losers) AS semantic_canonical
+  FROM sp s
+  LEFT JOIN dupg d ON d._th = s._th
+  JOIN al a ON a.id = s.doc_id
+)
+SELECT doc_id, image_pass, image_canonical, caption_canonical,
+       align_score, aligned, semantic_canonical,
+       (image_pass AND image_canonical AND caption_canonical
+        AND aligned AND semantic_canonical) AS selected,
+       CASE WHEN NOT image_pass THEN 'image'
+            WHEN NOT image_canonical THEN 'image_dup'
+            WHEN NOT caption_canonical THEN 'caption_dup'
+            WHEN NOT aligned THEN 'alignment'
+            WHEN NOT semantic_canonical THEN 'semantic_dup'
+            ELSE 'none' END AS drop_reason
+FROM lab
+"""
+
+
 def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate dedup over the TRUSTED phash:int64 column of
     the north-rule input schema (r6) — no pixel decode: banded bucket
@@ -1351,6 +1426,73 @@ def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("caption_canonical"), F.lit("caption_dup"))
         .otherwise(F.lit("none"))
         .alias("drop_reason"),
+    )
+
+
+#: q_curation_full knobs — one place so the Spark query and the oracle
+#: can never drift (tau picked so the fake 8-dim embeddings produce
+#: in-cell near-dup groups at toy scale; production CLIP uses ~0.95)
+_CURATION_FULL = dict(
+    dim=8, align_threshold=0.1, tau=0.8,
+    n_cells=8, iters=5, sample=4096, sample_frac=0.5, max_cell=5000,
+)
+
+
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multimodal curation (r7): every image+caption stage the
+    engine ships, composed on ONE spine in one lazy DAG — decode-free
+    image gate, phash near-dup image dedup, exact caption dedup, CLIP-
+    score alignment gate (fake encoders — the container has no CLIP),
+    and SemDeDup over the SAME image embeddings the alignment stage
+    computes. One fused Arrow crossing for the corpus (alignment +
+    semdedup assign share the encoder call); the only other crossing is
+    semdedup's cell-bounded pair verify; every label join-back is a
+    duplicate-bounded broadcast. drop_reason = first failing stage,
+    cheapest first: image > image_dup > caption_dup > alignment >
+    semantic_dup."""
+    from kenlm_spark.filtering.image_quality import (
+        image_metric_exprs,
+        image_pass_expr,
+    )
+    from kenlm_spark.operators.alignment import (
+        fake_image_encoder,
+        fake_text_encoder,
+    )
+    from kenlm_spark.operators.curation import curate_multimodal_full
+    from kenlm_spark.operators.dedup import h60, norm_text
+
+    p = _CURATION_FULL
+    docs = _docs(spark, sf_dir)
+    spine = docs.select(
+        "doc_id",
+        "text",
+        F.col("doc_id").cast("string").alias("img_key"),
+        *_image_payload_exprs(),
+        _phash_expr().alias("phash"),
+        h60(norm_text("text")).alias("caption_hash"),
+    )
+    spine = spine.select(
+        "doc_id",
+        "text",
+        "img_key",
+        "phash",
+        "caption_hash",
+        image_pass_expr(image_metric_exprs()).alias("image_pass"),
+    )
+    return curate_multimodal_full(
+        spine,
+        fake_text_encoder(p["dim"]),
+        fake_image_encoder(p["dim"]),
+        id_col="doc_id",
+        caption_col="text",
+        image_key_col="img_key",
+        align_threshold=p["align_threshold"],
+        tau=p["tau"],
+        n_cells=p["n_cells"],
+        iters=p["iters"],
+        sample=p["sample"],
+        sample_frac=p["sample_frac"],
+        max_cell=p["max_cell"],
     )
 
 
@@ -1819,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_phash": q_dedup_phash,  # NEW r6 (image phash near-dup)
         "q_dedup_semantic": q_dedup_semantic,  # NEW r6 (SemDeDup)
         "q_multimodal_curation": q_multimodal_curation,  # NEW r6 (composed)
+        "q_curation_full": q_curation_full,  # NEW r7 (full 5-stage spine)
         "q_ppl_by_source": q_ppl_by_source,  # NEW r6 (per-domain eval)
         "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
         "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
@@ -2199,6 +2342,7 @@ SELECT doc_id, image_pass, image_canonical, caption_canonical,
 FROM lab
 """
         )(),
+        "q_curation_full": _curation_full_oracle_sql(),
         "q_corpus_curation": f"""
 WITH kd AS ({keep_drop}),
 th AS (

@@ -123,6 +123,19 @@ def alignment_scores(
     ).mapInPandas(run, "id long, align_score double, keep boolean")
 
 
+def fake_vec_sql(salt: str, expr: str, dim: int) -> str:
+    """The DuckDB twin of :func:`_fake_vec` — a DOUBLE[] literal of
+    ``dim`` md5-derived components over a VARCHAR expression. Shared by
+    :func:`alignment_scores_sql` and the q_curation_full oracle (which
+    feeds the same fake image embeddings into the k-means CTEs)."""
+    comps = ", ".join(
+        f"(CAST('0x' || substring(md5('{salt}{c}:' || {expr}), 1, 8) "
+        f"AS BIGINT) % 1000) / 1000.0 - 0.5"
+        for c in range(dim)
+    )
+    return f"[{comps}]"
+
+
 def alignment_scores_sql(
     dim: int = 8,
     threshold: float = 0.28,
@@ -137,14 +150,7 @@ def alignment_scores_sql(
     defaults to the id cast to VARCHAR, matching the query's fake keying.
     """
     key = image_key_expr or f"CAST({id_col} AS VARCHAR)"
-
-    def vec(salt: str, expr: str) -> str:
-        comps = ", ".join(
-            f"(CAST('0x' || substring(md5('{salt}{c}:' || {expr}), 1, 8) "
-            f"AS BIGINT) % 1000) / 1000.0 - 0.5"
-            for c in range(dim)
-        )
-        return f"[{comps}]"
+    vec = lambda salt, expr: fake_vec_sql(salt, expr, dim)  # noqa: E731
 
     def unit(x: str) -> str:
         return (

@@ -78,6 +78,15 @@ def train_centroids(
             "sample_frac or check the input"
         )
     X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return lloyd_iterations(X, k, iters)
+
+
+def lloyd_iterations(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd over an in-memory sample: centroids seed from
+    the first k rows (callers order the sample by id), argmin ties break
+    to the lowest cell, empty cells keep their previous centroid — the
+    exact arithmetic `kmeans_assign_ctes` unrolls in SQL. Shared by
+    :func:`train_centroids` and `curation.train_pair_centroids`."""
     cent = X[:k].copy()
     for _ in range(iters):
         d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

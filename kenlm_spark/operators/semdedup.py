@@ -117,6 +117,29 @@ def semdedup_labels(
         )
         .localCheckpoint(eager=True)
     )
+    losers = semdedup_losers(wide, tau=tau, max_cell=max_cell).withColumn(
+        "_drop", F.lit(True)
+    )
+    if broadcast_drops:
+        losers = F.broadcast(losers)
+    return wide.join(losers, "nid", "left").select(
+        "nid",
+        "cell",
+        "c_sim",
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
+def semdedup_losers(
+    wide: DataFrame, tau: float = 0.95, max_cell: int = 5_000
+) -> DataFrame:
+    """(nid) — the SemDeDup dropped-id set over a pre-assigned
+    ``(nid, vn, cell, c_sim)`` DataFrame (``vn`` unit vectors, ``c_sim``
+    rounded centroid cosine). Factored out of :func:`semdedup_labels` so
+    composed jobs that compute the assignment in their own fused Arrow
+    pass (`curation.curate_multimodal_full`) reuse the guard + candidate
+    + verify stages unchanged. The result is duplicate-bounded — callers
+    broadcast it back onto their spine."""
     big = (
         wide.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -163,19 +186,10 @@ def semdedup_labels(
             a_loses = (ca > cb) | ((ca == cb) & (ia > ib))
             yield pd.DataFrame({"loser": np.where(a_loses, ia, ib)})
 
-    losers = (
+    return (
         joined.mapInPandas(verify_pass, "loser long")
         .distinct()
         .select(F.col("loser").alias("nid"))
-        .withColumn("_drop", F.lit(True))
-    )
-    if broadcast_drops:
-        losers = F.broadcast(losers)
-    return wide.join(losers, "nid", "left").select(
-        "nid",
-        "cell",
-        "c_sim",
-        F.col("_drop").isNull().alias("keep"),
     )
 
 
@@ -266,38 +280,30 @@ FROM assigned a JOIN cnt c ON c.cell = a.cell
 """
 
 
-def semdedup_sql(
-    tau: float = 0.95,
-    n_cells: int = 8,
-    iters: int = 5,
-    sample: int = 4096,
-    sample_frac: float = 0.5,
-    max_cell: int = 5_000,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    """DuckDB twin of :func:`semdedup_labels`: identical k-means CTEs
-    (shared with the IVF oracle via ``kmeans_assign_ctes``), unit
-    normalization and centroid cosine with list_sum's sequential fold,
-    the same round-6 / tie-break loser rule."""
-    ctes = kmeans_assign_ctes(
-        n_cells, iters, sample, sample_frac, table, id_col, vec_col
+def _sql_dot(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({x})), "
+        f"i -> {x}[i] * {y}[i]))"
     )
 
-    def dot(x: str, y: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, len({x})), "
-            f"i -> {x}[i] * {y}[i]))"
-        )
 
-    def unit(x: str) -> str:
-        return (
-            f"list_transform({x}, e -> e / sqrt(list_sum("
-            f"list_transform(generate_series(1, len({x})), "
-            f"i -> {x}[i] * {x}[i]))))"
-        )
+def _sql_unit(x: str) -> str:
+    return (
+        f"list_transform({x}, e -> e / sqrt(list_sum("
+        f"list_transform(generate_series(1, len({x})), "
+        f"i -> {x}[i] * {x}[i]))))"
+    )
 
+
+def semdedup_label_ctes(
+    ctes: list[str], tau: float, max_cell: int, iters: int
+) -> list[str]:
+    """Append the SemDeDup normc/wide/okcell/losers CTEs to a CTE list
+    that already ends in ``assigned(nid, v, cell)`` + ``cent{iters}``
+    (from ``kmeans_assign_ctes`` over any embedding source). Shared by
+    :func:`semdedup_sql` and the q_curation_full oracle."""
+    dot, unit = _sql_dot, _sql_unit
+    ctes = list(ctes)
     ctes.append(
         f"""normc AS (
   SELECT cell, {unit('c')} AS cn FROM cent{iters}
@@ -327,6 +333,28 @@ def semdedup_sql(
   WHERE round({dot('a.vn', 'b.vn')}, 6) >= {tau}
 )"""
     )
+    return ctes
+
+
+def semdedup_sql(
+    tau: float = 0.95,
+    n_cells: int = 8,
+    iters: int = 5,
+    sample: int = 4096,
+    sample_frac: float = 0.5,
+    max_cell: int = 5_000,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semdedup_labels`: identical k-means CTEs
+    (shared with the IVF oracle via ``kmeans_assign_ctes``), unit
+    normalization and centroid cosine with list_sum's sequential fold,
+    the same round-6 / tie-break loser rule."""
+    ctes = kmeans_assign_ctes(
+        n_cells, iters, sample, sample_frac, table, id_col, vec_col
+    )
+    ctes = semdedup_label_ctes(ctes, tau, max_cell, iters)
     joined = ",\n".join(ctes)
     return f"""
 WITH {joined}
