@@ -1903,6 +1903,40 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: r7 driver window (the FIRST 50 entries of queries()): the 28 queries
+#: r6 rotated out (returning — all r5-green and untouched since), the
+#: 10 r7-touched/new queries (q_dsir_select + q_curation_full are new;
+#: q_domain_rebalance got the twin CAST + exact-division rewrite;
+#: semdedup/ivf/alignment were refactored under q_dedup_semantic,
+#: q_cluster_sample, q_similarity_ivf/_ivf_pq, q_alignment_filter,
+#: q_multimodal_curation; dsir under q_dsir_weights), and 12 fill
+#: (streaming paths + the r6-new image/selection queries). The 30
+#: rotated out are untouched this round and hash-green in
+#: CORRECTNESS_r06.json — see BENCH/SAMPLED_WINDOWS.md.
+_R7_WINDOW = [
+    # returning (28, unsampled in r6)
+    "q_word_freq", "q_ngram_count_2", "q_lm_windows_3", "q_lm_adjusted_2",
+    "q_lm_adjusted_1", "q_lm_model_pruned", "q_lm_model_3",
+    "q_ngram_count_3", "q_langid", "q_scrub", "q_quality_metrics",
+    "q_quality_filter", "q_filter_vocab_multiple", "q_interpolate_models",
+    "q_interpolate_tuned", "q_quantize_model", "q_token_stats",
+    "q_multimodal_meta", "q_audio_features", "q_multimodal_frames",
+    "q_multimodal_phash", "q_tpch_q1", "q_orders_customer_revenue",
+    "q_events_hourly", "q_events_user_rank", "q_events_user_stats_stream",
+    "q_repetition_metrics", "q_url_filter",
+    # r7-touched / new (10)
+    "q_dsir_select", "q_curation_full", "q_domain_rebalance",
+    "q_dedup_semantic", "q_cluster_sample", "q_dsir_weights",
+    "q_similarity_ivf", "q_similarity_ivf_pq", "q_alignment_filter",
+    "q_multimodal_curation",
+    # fill (12)
+    "q_keep_drop_stream", "q_contamination_stream", "q_dedup_exact_stream",
+    "q_image_quality", "q_dedup_phash", "q_ccnet_buckets",
+    "q_chunk_documents", "q_ppl_by_source", "q_keep_drop",
+    "q_corpus_curation", "q_dedup_exact", "q_dedup_canonical",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the external driver samples the FIRST 50 entries of
     # this dict per round.  Rotation policy (documented per round in
@@ -1916,8 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scorer-path query — now on the compiled kernel — and the new
     # q_filter_metrics + q_image_quality + q_dsir_weights +
     # q_ccnet_buckets) + 14 fill; the 20 rotated out are untouched and
-    # r5-hash-green.
-    return {
+    # r5-hash-green.  r7: the dict literal keeps its logical grouping;
+    # the driver-facing order is applied from _R7_WINDOW at return.
+    d = {
         # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
         "q_dedup_jaccard": q_dedup_jaccard,
@@ -2008,6 +2043,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_metrics": q_repetition_metrics,
         "q_url_filter": q_url_filter,
     }
+    missing = [k for k in _R7_WINDOW if k not in d]
+    if missing or len(_R7_WINDOW) != 50 or len(set(_R7_WINDOW)) != 50:
+        raise RuntimeError(
+            f"driver window misconfigured: missing={missing}, "
+            f"len={len(_R7_WINDOW)}"
+        )
+    ordered = {k: d[k] for k in _R7_WINDOW}
+    ordered.update({k: v for k, v in d.items() if k not in ordered})
+    return ordered
 
 
 # --------------------------------------------------------------------------
