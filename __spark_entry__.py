@@ -1522,6 +1522,33 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (r7): document → fixed-token-budget training
+    sequence assignment, packed independently within deterministic hash
+    groups so the only shuffle is partition-by-group + in-group sort —
+    the concat-and-pack step downstream of chunking. Toy budget (64
+    tokens, 8 groups) so multi-document sequences and budget-spanning
+    documents are both common at caption lengths."""
+    from kenlm_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget_tokens=64, n_groups=8
+    )
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (r7): every image is assigned the
+    nearest-aspect (w, h) training shape from the SDXL-style ladder —
+    map-only Catalyst arithmetic (boundary comparisons on one double
+    division), riding the same scan as the metadata quality gate. Over
+    the deterministic synthesized (w, h) payload shared with
+    q_image_quality."""
+    from kenlm_spark.operators.image_buckets import assign_aspect_buckets
+
+    img = _docs(spark, sf_dir).select("doc_id", *_image_payload_exprs())
+    return assign_aspect_buckets(img)
+
+
 def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing (r6; the SlimPajama/DoReMi mixing
     step): cap every source domain at a fixed training-token budget via
@@ -1905,14 +1932,15 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: r7 driver window (the FIRST 50 entries of queries()): the 28 queries
 #: r6 rotated out (returning — all r5-green and untouched since), the
-#: 10 r7-touched/new queries (q_dsir_select + q_curation_full are new;
-#: q_domain_rebalance got the twin CAST + exact-division rewrite;
-#: semdedup/ivf/alignment were refactored under q_dedup_semantic,
-#: q_cluster_sample, q_similarity_ivf/_ivf_pq, q_alignment_filter,
-#: q_multimodal_curation; dsir under q_dsir_weights), and 12 fill
-#: (streaming paths + the r6-new image/selection queries). The 30
-#: rotated out are untouched this round and hash-green in
-#: CORRECTNESS_r06.json — see BENCH/SAMPLED_WINDOWS.md.
+#: 12 r7-touched/new queries (q_dsir_select + q_curation_full +
+#: q_pack_sequences + q_aspect_buckets are new; q_domain_rebalance got
+#: the twin CAST + exact-division rewrite; semdedup/ivf/alignment were
+#: refactored under q_dedup_semantic, q_cluster_sample,
+#: q_similarity_ivf/_ivf_pq, q_alignment_filter, q_multimodal_curation;
+#: dsir under q_dsir_weights), and 10 fill (streaming paths + the
+#: r6-new image/selection queries). The 32 rotated out are untouched
+#: this round and hash-green in CORRECTNESS_r06.json — see
+#: BENCH/SAMPLED_WINDOWS.md.
 _R7_WINDOW = [
     # returning (28, unsampled in r6)
     "q_word_freq", "q_ngram_count_2", "q_lm_windows_3", "q_lm_adjusted_2",
@@ -1924,16 +1952,16 @@ _R7_WINDOW = [
     "q_multimodal_phash", "q_tpch_q1", "q_orders_customer_revenue",
     "q_events_hourly", "q_events_user_rank", "q_events_user_stats_stream",
     "q_repetition_metrics", "q_url_filter",
-    # r7-touched / new (10)
+    # r7-touched / new (12)
     "q_dsir_select", "q_curation_full", "q_domain_rebalance",
     "q_dedup_semantic", "q_cluster_sample", "q_dsir_weights",
     "q_similarity_ivf", "q_similarity_ivf_pq", "q_alignment_filter",
-    "q_multimodal_curation",
-    # fill (12)
+    "q_multimodal_curation", "q_pack_sequences", "q_aspect_buckets",
+    # fill (10)
     "q_keep_drop_stream", "q_contamination_stream", "q_dedup_exact_stream",
     "q_image_quality", "q_dedup_phash", "q_ccnet_buckets",
     "q_chunk_documents", "q_ppl_by_source", "q_keep_drop",
-    "q_corpus_curation", "q_dedup_exact", "q_dedup_canonical",
+    "q_corpus_curation",
 ]
 
 
@@ -2000,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_by_source": q_ppl_by_source,  # NEW r6 (per-domain eval)
         "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
         "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
+        "q_pack_sequences": q_pack_sequences,  # NEW r7 (concat-and-pack)
+        "q_aspect_buckets": q_aspect_buckets,  # NEW r7 (SDXL aspect ladder)
         "q_domain_rebalance": q_domain_rebalance,  # NEW r6 (data mixing)
         "q_alignment_filter": q_alignment_filter,  # NEW r6 (CLIP-score gate)
         # --- window fill (6; q_word_freq, q_ngram_count_2, q_lm_windows_3,
@@ -2347,6 +2377,14 @@ FROM img
         "q_chunk_documents": __import__(
             "kenlm_spark.operators.chunking", fromlist=["x"]
         ).chunk_documents_sql(max_tokens=12, overlap=4),
+        "q_pack_sequences": __import__(
+            "kenlm_spark.operators.packing", fromlist=["x"]
+        ).pack_sequences_sql(budget_tokens=64, n_groups=8),
+        "q_aspect_buckets": __import__(
+            "kenlm_spark.operators.image_buckets", fromlist=["x"]
+        ).assign_aspect_buckets_sql(
+            f"SELECT {_IMAGE_PAYLOAD_SQL} FROM documents"
+        ),
         "q_domain_rebalance": __import__(
             "kenlm_spark.operators.mixing", fromlist=["x"]
         ).rebalance_by_domain_sql(budget_tokens_per_domain=800),

@@ -1,0 +1,155 @@
+"""Aspect-ratio bucketing — assign every image to the nearest (w, h)
+training bucket from a fixed resolution ladder (the SDXL / NovelAI
+"aspect bucketing" step: variable-aspect corpora are grouped into a
+small set of fixed shapes so training batches are homogeneous and crops
+are minimal).
+
+Shape: map-only Catalyst arithmetic — the bucket index is
+``1 + Σ_i [aspect > boundary_i]`` where the boundaries are the
+geometric midpoints between adjacent ladder aspects, precomputed in
+Python and inlined as float literals. No join, no shuffle, no Python:
+at 10^12 images this rides the same scan as the metadata quality gate.
+The comparison operand ``w / h`` is a single IEEE-754 double division
+of two integers, so Spark and the DuckDB oracle compute bit-identical
+values against bit-identical literals — the bucket decision cannot
+drift between engines.
+
+The default ladder is the SDXL 1024^2-regime set (public model card /
+community training recipes); any strictly-aspect-increasing ladder
+works.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (width, height) training shapes, ordered by ascending aspect = w/h.
+DEFAULT_LADDER: tuple[tuple[int, int], ...] = (
+    (512, 2048),
+    (576, 1728),
+    (640, 1536),
+    (704, 1408),
+    (832, 1216),
+    (896, 1152),
+    (1024, 1024),
+    (1152, 896),
+    (1216, 832),
+    (1408, 704),
+    (1536, 640),
+    (1728, 576),
+    (2048, 512),
+)
+
+
+def _boundaries(ladder: tuple[tuple[int, int], ...]) -> list[float]:
+    """Geometric midpoints between adjacent ladder aspects (strictly
+    increasing, validated)."""
+    if len(ladder) < 2:
+        raise ValueError("ladder needs at least 2 buckets")
+    aspects = [bw / bh for bw, bh in ladder]
+    if any(a2 <= a1 for a1, a2 in zip(aspects, aspects[1:])):
+        raise ValueError("ladder aspects must be strictly increasing")
+    return [
+        float(math.sqrt(a1 * a2)) for a1, a2 in zip(aspects, aspects[1:])
+    ]
+
+
+def aspect_bucket_exprs(
+    w: Column | str = "w",
+    h: Column | str = "h",
+    ladder: tuple[tuple[int, int], ...] = DEFAULT_LADDER,
+) -> dict[str, Column]:
+    """Catalyst columns: ``bucket_idx`` (1-based), ``bucket_w``,
+    ``bucket_h`` for the nearest-log-aspect ladder bucket."""
+    wc = (F.col(w) if isinstance(w, str) else w).cast("double")
+    hc = (F.col(h) if isinstance(h, str) else h).cast("double")
+    aspect = wc / hc
+    idx = reduce(
+        lambda acc, b: acc
+        + F.when(aspect > F.lit(b), F.lit(1)).otherwise(F.lit(0)),
+        _boundaries(ladder),
+        F.lit(1),
+    ).cast("int")
+    ws = F.array(*[F.lit(int(bw)) for bw, _ in ladder])
+    hs = F.array(*[F.lit(int(bh)) for _, bh in ladder])
+    return {
+        "aspect": aspect,
+        "bucket_idx": idx,
+        "bucket_w": F.element_at(ws, idx),
+        "bucket_h": F.element_at(hs, idx),
+    }
+
+
+def assign_aspect_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    ladder: tuple[tuple[int, int], ...] = DEFAULT_LADDER,
+) -> DataFrame:
+    """(id, w, h, aspect, bucket_idx, bucket_w, bucket_h) — map-only."""
+    e = aspect_bucket_exprs(w_col, h_col, ladder)
+    return df.select(
+        id_col,
+        F.col(w_col).cast("long").alias("w"),
+        F.col(h_col).cast("long").alias("h"),
+        F.round(e["aspect"], 6).alias("aspect"),
+        e["bucket_idx"].alias("bucket_idx"),
+        e["bucket_w"].cast("long").alias("bucket_w"),
+        e["bucket_h"].cast("long").alias("bucket_h"),
+    )
+
+
+# ----------------------------------------------------------------- SQL twin
+
+def aspect_bucket_sql_exprs(
+    w: str = "w",
+    h: str = "h",
+    ladder: tuple[tuple[int, int], ...] = DEFAULT_LADDER,
+) -> dict[str, str]:
+    """DuckDB twins computing bit-identical bucket decisions (same
+    float literals via repr, same strict > comparisons on the same
+    double division)."""
+    aspect = f"(CAST({w} AS DOUBLE) / CAST({h} AS DOUBLE))"
+    terms = " + ".join(
+        f"(CASE WHEN {aspect} > {b!r} THEN 1 ELSE 0 END)"
+        for b in _boundaries(ladder)
+    )
+    idx = f"CAST(1 + {terms} AS INT)"
+    ws = ", ".join(str(int(bw)) for bw, _ in ladder)
+    hs = ", ".join(str(int(bh)) for _, bh in ladder)
+    return {
+        "aspect": aspect,
+        "bucket_idx": idx,
+        "bucket_w": f"([{ws}])[{idx}]",
+        "bucket_h": f"([{hs}])[{idx}]",
+    }
+
+
+def assign_aspect_buckets_sql(
+    img_cte: str,
+    id_col: str = "doc_id",
+    w: str = "w",
+    h: str = "h",
+    ladder: tuple[tuple[int, int], ...] = DEFAULT_LADDER,
+) -> str:
+    """DuckDB twin of :func:`assign_aspect_buckets` over an ``img`` CTE
+    body providing (id, w, h)."""
+    e = aspect_bucket_sql_exprs(w, h, ladder)
+    return f"""
+WITH img AS (
+  {img_cte}
+)
+SELECT {id_col},
+       CAST({w} AS BIGINT) AS w,
+       CAST({h} AS BIGINT) AS h,
+       round({e["aspect"]}, 6) AS aspect,
+       {e["bucket_idx"]} AS bucket_idx,
+       CAST({e["bucket_w"]} AS BIGINT) AS bucket_w,
+       CAST({e["bucket_h"]} AS BIGINT) AS bucket_h
+FROM img
+"""
