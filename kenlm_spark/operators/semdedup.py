@@ -20,12 +20,22 @@ Spark-first shape:
   clusters and blind across them by construction (that locality is the
   point: at 10^12 rows, n_cells scales with the corpus so cells stay
   bounded; `max_cell` guards degenerate clusters the same way
-  `max_bucket` guards LSH buckets, dropping them from pairing). The
-  default cap is sibling-scale (5,000 — a few× the LSH/phash
-  ``max_bucket=2000`` since cells are coarser than buckets): the
-  in-cell join is O(m²), so one just-under-cap cell costs ≤ ~12.5M
-  pairs — bounded even if an all-zero-embedding shard lands in one
-  cell. Callers in the paper's 50k-cells regime can raise it knowingly.
+  `max_bucket` guards LSH buckets). The default cap is sibling-scale
+  (5,000 — a few× the LSH/phash ``max_bucket=2000`` since cells are
+  coarser than buckets): the in-cell join is O(m²), so one
+  just-under-cap cell costs ≤ ~12.5M pairs — bounded even if an
+  all-zero-embedding shard lands in one cell. Cells OVER the cap are
+  hash-SPLIT rather than dropped (``split_oversized``, default on): a
+  cell of n rows pairs within ``ceil(n / max_cell)`` deterministic
+  id-hash subcells, so its per-row candidate cost is capped at exactly
+  the worst ALLOWED healthy cell (O(max_cell) pairs/row — linear in n
+  overall, never quadratic) while near-dups still collapse to ≤ nsplit
+  survivors instead of escaping dedup entirely. Id-hash is the only
+  split that bounds the truly degenerate case (identical vectors defeat
+  any content-based split); cross-subcell pairs are unseen, which is
+  the same blindness SemDeDup already accepts across cells.
+  ``split_oversized=False`` restores the drop-the-cell guard. Callers
+  in the paper's 50k-cells regime can raise the cap knowingly.
 * the dropped-id set is pair-bounded and broadcasts back onto the
   corpus spine for keep labels — no corpus-keyed shuffle after the
   cell join.
@@ -59,6 +69,7 @@ def semdedup_labels(
     sample_frac: float = 0.5,
     max_cell: int = 5_000,
     broadcast_drops: bool = True,
+    split_oversized: bool = True,
 ) -> DataFrame:
     """(nid, cell, c_sim, keep) — SemDeDup keep/drop labels.
 
@@ -117,9 +128,9 @@ def semdedup_labels(
         )
         .localCheckpoint(eager=True)
     )
-    losers = semdedup_losers(wide, tau=tau, max_cell=max_cell).withColumn(
-        "_drop", F.lit(True)
-    )
+    losers = semdedup_losers(
+        wide, tau=tau, max_cell=max_cell, split_oversized=split_oversized
+    ).withColumn("_drop", F.lit(True))
     if broadcast_drops:
         losers = F.broadcast(losers)
     return wide.join(losers, "nid", "left").select(
@@ -130,8 +141,14 @@ def semdedup_labels(
     )
 
 
+_SPLIT_SALT = "semsplit:"
+
+
 def semdedup_losers(
-    wide: DataFrame, tau: float = 0.95, max_cell: int = 5_000
+    wide: DataFrame,
+    tau: float = 0.95,
+    max_cell: int = 5_000,
+    split_oversized: bool = True,
 ) -> DataFrame:
     """(nid) — the SemDeDup dropped-id set over a pre-assigned
     ``(nid, vn, cell, c_sim)`` DataFrame (``vn`` unit vectors, ``c_sim``
@@ -139,18 +156,50 @@ def semdedup_losers(
     composed jobs that compute the assignment in their own fused Arrow
     pass (`curation.curate_multimodal_full`) reuse the guard + candidate
     + verify stages unchanged. The result is duplicate-bounded — callers
-    broadcast it back onto their spine."""
-    big = (
-        wide.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_cell)
-        .select("cell")
-    )
-    ids = wide.select("nid", "cell").join(big, "cell", "left_anti")
+    broadcast it back onto their spine.
+
+    Cells over ``max_cell`` split into ``ceil(n / max_cell)``
+    deterministic id-hash subcells and pair within them (see module
+    docstring); for cells at or under the cap ``nsplit = 1`` and the
+    subcell term is identically 0, so healthy corpora are bit-unchanged.
+    ``split_oversized=False`` drops oversized cells from pairing instead
+    (the pre-r7 guard)."""
+    from kenlm_spark.operators.dedup import h60
+
+    counts = wide.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    if split_oversized:
+        splits = counts.select(
+            "cell",
+            F.expr(f"((_n - 1) div {max_cell}) + 1").alias("_nsplit"),
+        )
+        ids = (
+            wide.select("nid", "cell")
+            .join(F.broadcast(splits), "cell")
+            .select(
+                "nid",
+                "cell",
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(_SPLIT_SALT), F.col("nid").cast("string")
+                        )
+                    ),
+                    F.col("_nsplit"),
+                ).alias("sub"),
+            )
+        )
+    else:
+        big = counts.filter(F.col("_n") > max_cell).select("cell")
+        ids = (
+            wide.select("nid", "cell")
+            .join(big, "cell", "left_anti")
+            .withColumn("sub", F.lit(0).cast("long"))
+        )
     a, b = ids.alias("a"), ids.alias("b")
     cand = a.join(
         b,
         (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.nid") < F.col("b.nid")),
     ).select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
     joined = cand.join(
@@ -296,12 +345,18 @@ def _sql_unit(x: str) -> str:
 
 
 def semdedup_label_ctes(
-    ctes: list[str], tau: float, max_cell: int, iters: int
+    ctes: list[str],
+    tau: float,
+    max_cell: int,
+    iters: int,
+    split_oversized: bool = True,
 ) -> list[str]:
-    """Append the SemDeDup normc/wide/okcell/losers CTEs to a CTE list
-    that already ends in ``assigned(nid, v, cell)`` + ``cent{iters}``
-    (from ``kmeans_assign_ctes`` over any embedding source). Shared by
-    :func:`semdedup_sql` and the q_curation_full oracle."""
+    """Append the SemDeDup normc/wide/cellsplit/subbed/losers CTEs to a
+    CTE list that already ends in ``assigned(nid, v, cell)`` +
+    ``cent{iters}`` (from ``kmeans_assign_ctes`` over any embedding
+    source). Shared by :func:`semdedup_sql` and the q_curation_full
+    oracle. Mirrors :func:`semdedup_losers` including the oversized-cell
+    id-hash split (same salt, same h60 arithmetic)."""
     dot, unit = _sql_dot, _sql_unit
     ctes = list(ctes)
     ctes.append(
@@ -316,20 +371,44 @@ def semdedup_label_ctes(
   FROM assigned a JOIN normc nc ON nc.cell = a.cell
 )"""
     )
-    ctes.append(
-        f"""okcell AS (
+    if split_oversized:
+        h = (
+            f"CAST(('0x' || substring(md5('{_SPLIT_SALT}' || "
+            f"CAST(w.nid AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        ctes.append(
+            f"""cellsplit AS (
+  SELECT cell, CAST((count(*) - 1) // {max_cell} + 1 AS BIGINT) AS nsplit
+  FROM wide GROUP BY cell
+)"""
+        )
+        ctes.append(
+            f"""subbed AS (
+  SELECT w.nid, w.cell, w.vn, w.c_sim,
+         (({h} % s.nsplit) + s.nsplit) % s.nsplit AS sub
+  FROM wide w JOIN cellsplit s ON s.cell = w.cell
+)"""
+        )
+    else:
+        ctes.append(
+            f"""cellsplit AS (
   SELECT cell FROM wide GROUP BY cell HAVING count(*) <= {max_cell}
 )"""
-    )
+        )
+        ctes.append(
+            """subbed AS (
+  SELECT w.nid, w.cell, w.vn, w.c_sim, CAST(0 AS BIGINT) AS sub
+  FROM wide w JOIN cellsplit s ON s.cell = w.cell
+)"""
+        )
     ctes.append(
         f"""losers AS (
   SELECT DISTINCT CASE
       WHEN a.c_sim > b.c_sim
         OR (a.c_sim = b.c_sim AND a.nid > b.nid) THEN a.nid
       ELSE b.nid END AS nid
-  FROM wide a
-  JOIN wide b ON a.cell = b.cell AND a.nid < b.nid
-  JOIN okcell k ON k.cell = a.cell
+  FROM subbed a
+  JOIN subbed b ON a.cell = b.cell AND a.sub = b.sub AND a.nid < b.nid
   WHERE round({dot('a.vn', 'b.vn')}, 6) >= {tau}
 )"""
     )
@@ -346,15 +425,16 @@ def semdedup_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    split_oversized: bool = True,
 ) -> str:
     """DuckDB twin of :func:`semdedup_labels`: identical k-means CTEs
     (shared with the IVF oracle via ``kmeans_assign_ctes``), unit
     normalization and centroid cosine with list_sum's sequential fold,
-    the same round-6 / tie-break loser rule."""
+    the same round-6 / tie-break loser rule and oversized-cell split."""
     ctes = kmeans_assign_ctes(
         n_cells, iters, sample, sample_frac, table, id_col, vec_col
     )
-    ctes = semdedup_label_ctes(ctes, tau, max_cell, iters)
+    ctes = semdedup_label_ctes(ctes, tau, max_cell, iters, split_oversized)
     joined = ",\n".join(ctes)
     return f"""
 WITH {joined}

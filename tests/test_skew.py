@@ -254,8 +254,12 @@ def test_semdedup_degenerate_cell_at_guard_boundary(spark):
     emb = over.unionByName(boundary)
 
     t0 = time.perf_counter()
+    # split_oversized=False pins the legacy drop-the-cell guard; the
+    # default id-hash split regime is covered (with cross-engine parity)
+    # in tests/test_semdedup.py
     out = semdedup_labels(
-        emb, tau=0.95, n_cells=2, iters=3, sample_frac=1.0, max_cell=cap
+        emb, tau=0.95, n_cells=2, iters=3, sample_frac=1.0, max_cell=cap,
+        split_oversized=False,
     )
     agg = (
         out.withColumn("is_over", F.col("nid") % 2 == 0)
