@@ -66,7 +66,12 @@ def aspect_bucket_exprs(
     """Catalyst columns: ``bucket_idx`` (1-based), ``bucket_w``,
     ``bucket_h`` for the nearest-log-aspect ladder bucket."""
     wc = (F.col(w) if isinstance(w, str) else w).cast("double")
-    hc = (F.col(h) if isinstance(h, str) else h).cast("double")
+    # greatest(h, 1): h = 0 would be IEEE Infinity in Spark but NULL in
+    # DuckDB — clamping keeps corrupt rows engine-identical (and they are
+    # the image gate's job to drop, same clamp as image_quality.aspect)
+    hc = F.greatest(
+        (F.col(h) if isinstance(h, str) else h).cast("long"), F.lit(1)
+    ).cast("double")
     aspect = wc / hc
     idx = reduce(
         lambda acc, b: acc
@@ -114,7 +119,10 @@ def aspect_bucket_sql_exprs(
     """DuckDB twins computing bit-identical bucket decisions (same
     float literals via repr, same strict > comparisons on the same
     double division)."""
-    aspect = f"(CAST({w} AS DOUBLE) / CAST({h} AS DOUBLE))"
+    aspect = (
+        f"(CAST({w} AS DOUBLE) / "
+        f"CAST(greatest(CAST({h} AS BIGINT), 1) AS DOUBLE))"
+    )
     terms = " + ".join(
         f"(CASE WHEN {aspect} > {b!r} THEN 1 ELSE 0 END)"
         for b in _boundaries(ladder)

@@ -135,3 +135,11 @@ def test_stream_aspect_buckets_matches_batch(spark, tmp_path):
         for r in assign_aspect_buckets(spark.read.parquet(src)).collect()
     }
     assert got == want and len(want) == 50
+
+
+def test_aspect_buckets_zero_height_clamped(spark):
+    # h=0 (corrupt metadata) clamps the denominator to 1 on both
+    # engines instead of diverging (Spark IEEE inf vs DuckDB null)
+    df = spark.createDataFrame([(1, 2048, 0)], "doc_id long, w int, h int")
+    r = assign_aspect_buckets(df).collect()[0]
+    assert r.bucket_idx == len(DEFAULT_LADDER) and r.aspect == 2048.0
