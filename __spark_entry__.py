@@ -1536,6 +1536,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences (r7): every document's
+    tokens concatenated in packing order per (grp, seq_id) — the
+    token arrays ride the SAME single partition-by-group exchange as
+    the assignment window (no corpus-keyed rejoin), then one
+    partial-aggregating rollup on the fine-grained sequence key."""
+    from kenlm_spark.operators.packing import pack_payloads
+
+    return pack_payloads(
+        _docs(spark, sf_dir), budget_tokens=64, n_groups=8
+    )
+
+
 def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketing (r7): every image is assigned the
     nearest-aspect (w, h) training shape from the SDXL-style ladder —
@@ -1932,15 +1945,15 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: r7 driver window (the FIRST 50 entries of queries()): the 28 queries
 #: r6 rotated out (returning — all r5-green and untouched since), the
-#: 12 r7-touched/new queries (q_dsir_select + q_curation_full +
-#: q_pack_sequences + q_aspect_buckets are new; q_domain_rebalance got
-#: the twin CAST + exact-division rewrite; semdedup/ivf/alignment were
-#: refactored under q_dedup_semantic, q_cluster_sample,
-#: q_similarity_ivf/_ivf_pq, q_alignment_filter, q_multimodal_curation;
-#: dsir under q_dsir_weights), and 10 fill (streaming paths + the
-#: r6-new image/selection queries). The 32 rotated out are untouched
-#: this round and hash-green in CORRECTNESS_r06.json — see
-#: BENCH/SAMPLED_WINDOWS.md.
+#: 13 r7-touched/new queries (q_dsir_select + q_curation_full +
+#: q_pack_sequences + q_pack_payloads + q_aspect_buckets are new;
+#: q_domain_rebalance got the twin CAST + exact-division rewrite;
+#: semdedup/ivf/alignment were refactored under q_dedup_semantic,
+#: q_cluster_sample, q_similarity_ivf/_ivf_pq, q_alignment_filter,
+#: q_multimodal_curation; dsir under q_dsir_weights), and 9 fill
+#: (streaming paths + the r6-new image/selection queries). The 33
+#: rotated out are untouched this round and hash-green in
+#: CORRECTNESS_r06.json — see BENCH/SAMPLED_WINDOWS.md.
 _R7_WINDOW = [
     # returning (28, unsampled in r6)
     "q_word_freq", "q_ngram_count_2", "q_lm_windows_3", "q_lm_adjusted_2",
@@ -1957,10 +1970,11 @@ _R7_WINDOW = [
     "q_dedup_semantic", "q_cluster_sample", "q_dsir_weights",
     "q_similarity_ivf", "q_similarity_ivf_pq", "q_alignment_filter",
     "q_multimodal_curation", "q_pack_sequences", "q_aspect_buckets",
-    # fill (10)
+    "q_pack_payloads",
+    # fill (9)
     "q_keep_drop_stream", "q_contamination_stream", "q_dedup_exact_stream",
     "q_image_quality", "q_dedup_phash", "q_ccnet_buckets",
-    "q_chunk_documents", "q_ppl_by_source", "q_keep_drop",
+    "q_chunk_documents", "q_ppl_by_source",
     "q_corpus_curation",
 ]
 
@@ -2029,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_sample": q_cluster_sample,  # NEW r6 (cluster balancing)
         "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
         "q_pack_sequences": q_pack_sequences,  # NEW r7 (concat-and-pack)
+        "q_pack_payloads": q_pack_payloads,  # NEW r7 (materialized seqs)
         "q_aspect_buckets": q_aspect_buckets,  # NEW r7 (SDXL aspect ladder)
         "q_domain_rebalance": q_domain_rebalance,  # NEW r6 (data mixing)
         "q_alignment_filter": q_alignment_filter,  # NEW r6 (CLIP-score gate)
@@ -2380,6 +2395,9 @@ FROM img
         "q_pack_sequences": __import__(
             "kenlm_spark.operators.packing", fromlist=["x"]
         ).pack_sequences_sql(budget_tokens=64, n_groups=8),
+        "q_pack_payloads": __import__(
+            "kenlm_spark.operators.packing", fromlist=["x"]
+        ).pack_payloads_sql(budget_tokens=64, n_groups=8),
         "q_aspect_buckets": __import__(
             "kenlm_spark.operators.image_buckets", fromlist=["x"]
         ).assign_aspect_buckets_sql(

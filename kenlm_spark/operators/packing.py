@@ -85,6 +85,111 @@ def pack_sequences(
     )
 
 
+def pack_payloads(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    n_groups: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(grp, seq_id, n_docs, n_tokens, seq_text) — the MATERIALIZED
+    training sequences: every document's tokens concatenated in packing
+    order (ascending id within the hash group) per sequence.
+
+    Scale shape: the token arrays ride the SAME single
+    partition-by-group exchange the assignment window needs (no second
+    corpus-keyed join to fetch texts back); the per-sequence rollup is
+    a partial-aggregating groupBy on the fine-grained (grp, seq_id)
+    key. A document longer than the budget contributes all its tokens
+    to the sequence it starts in (document-granular packing — the
+    writer slices overflow downstream), so ``n_tokens`` can exceed the
+    budget exactly when a spanning document is present.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if n_groups <= 0:
+        raise ValueError("n_groups must be positive")
+    grp = F.pmod(
+        h60(F.concat(F.lit(_SALT), F.col(id_col).cast("string"))),
+        F.lit(n_groups),
+    ).cast("long")
+    base = (
+        df.select(
+            F.col(id_col),
+            tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("grp", grp)
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    asg = base.select(id_col, "grp", "n_tokens", "_toks", start).select(
+        "grp",
+        F.expr(f"_start div {budget_tokens}").alias("seq_id"),
+        F.col(id_col).alias("_id"),
+        "n_tokens",
+        "_toks",
+    )
+    # array_sort on struct orders by the leading id field, so the
+    # concatenation order is exactly the packing order
+    members = F.array_sort(F.collect_list(F.struct("_id", "_toks")))
+    return asg.groupBy("grp", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.flatten(F.transform(members, lambda m: m["_toks"])), " "
+        ).alias("seq_text"),
+    )
+
+
+def pack_payloads_sql(
+    budget_tokens: int = 256,
+    n_groups: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`pack_payloads` (``string_agg ... ORDER BY
+    id`` == Spark's sorted-struct flatten: both concatenate each doc's
+    space-joined tokens in ascending id order with single-space
+    separators)."""
+    from kenlm_spark.oracle import sql_tokens
+
+    h = (
+        f"CAST(('0x' || substring(md5('{_SALT}' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH _pk AS (
+  SELECT {id_col}, {sql_tokens(text_col)} AS toks,
+         CAST({h} % {n_groups} AS BIGINT) AS grp
+  FROM {table}
+),
+_pc AS (
+  SELECT {id_col}, grp, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(toks) AS BIGINT)) OVER (
+           PARTITION BY grp ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - CAST(len(toks) AS BIGINT) AS _start
+  FROM _pk WHERE len(toks) > 0
+)
+SELECT grp,
+       CAST(_start // {budget_tokens} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(toks, ' '), ' ' ORDER BY {id_col})
+         AS seq_text
+FROM _pc
+GROUP BY grp, CAST(_start // {budget_tokens} AS BIGINT)
+"""
+
+
 def pack_sequences_sql(
     budget_tokens: int = 256,
     n_groups: int = 8,

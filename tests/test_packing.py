@@ -143,3 +143,30 @@ def test_aspect_buckets_zero_height_clamped(spark):
     df = spark.createDataFrame([(1, 2048, 0)], "doc_id long, w int, h int")
     r = assign_aspect_buckets(df).collect()[0]
     assert r.bucket_idx == len(DEFAULT_LADDER) and r.aspect == 2048.0
+
+
+def test_pack_payloads_materializes_in_order(spark):
+    from kenlm_spark.operators.packing import pack_payloads
+
+    rows = [(i, " ".join([f"w{i}_{j}" for j in range(1 + i % 5)]))
+            for i in range(30)]
+    out = pack_payloads(_docs(spark, rows), budget_tokens=8, n_groups=2)
+    got = {(r.grp, r.seq_id): r for r in out.collect()}
+    # recompute the expected packing on the driver from the assignment op
+    asg = pack_sequences(
+        _docs(spark, rows), budget_tokens=8, n_groups=2
+    ).collect()
+    texts = dict(rows)
+    expect: dict = {}
+    for a in sorted(asg, key=lambda a: (a.grp, a.doc_id)):
+        e = expect.setdefault((a.grp, a.seq_id), {"n": 0, "t": 0, "txt": []})
+        e["n"] += 1
+        e["t"] += a.n_tokens
+        e["txt"].append(texts[a.doc_id])
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        r = got[k]
+        assert (r.n_docs, r.n_tokens) == (e["n"], e["t"]), k
+        assert r.seq_text == " ".join(e["txt"]), k
+    # multi-doc sequences exist and every sequence respects the order
+    assert any(e["n"] > 1 for e in expect.values())
