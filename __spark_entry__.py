@@ -1973,7 +1973,7 @@ _R7_WINDOW = [
     "q_pack_payloads",
     # fill (9)
     "q_keep_drop_stream", "q_contamination_stream", "q_dedup_exact_stream",
-    "q_image_quality", "q_dedup_phash", "q_ccnet_buckets",
+    "q_image_quality", "q_dedup_phash", "q_keep_drop",
     "q_chunk_documents", "q_ppl_by_source",
     "q_corpus_curation",
 ]
