@@ -89,6 +89,59 @@ def aspect_bucket_exprs(
     }
 
 
+def resize_plan_exprs(
+    w: Column | str = "w",
+    h: Column | str = "h",
+    bucket_w: Column | str = "bucket_w",
+    bucket_h: Column | str = "bucket_h",
+) -> dict[str, Column]:
+    """The cover-resize + center-crop transform that maps an image onto
+    its bucket shape — what the training dataloader executes downstream
+    of bucket assignment. PURE BIGINT arithmetic: the binding side is
+    decided by the integer cross-product ``w*bh >= h*bw`` (no float
+    scale factor whose last ulp could flip a ceil), resize dims use
+    exact ceil-division, crops are centered with div. Bit-exact across
+    engines by construction.
+
+    * wider than the bucket → height binds: resized = (ceil(w*bh/h), bh),
+      crop ``(resized_w - bw)`` split left/right;
+    * else width binds: resized = (bw, ceil(h*bw/w)), crop split
+      top/bottom.
+    """
+    wc = F.greatest(_lc(w).cast("long"), F.lit(1))
+    hc = F.greatest(_lc(h).cast("long"), F.lit(1))
+    bw = _lc(bucket_w).cast("long")
+    bh = _lc(bucket_h).cast("long")
+    wider = wc * bh >= hc * bw
+
+    def ceil_div(a: Column, b: Column) -> Column:
+        # floor((a + b - 1) / b): the double division is exact because
+        # every operand here is a pixel-dimension product (< 2^40 even
+        # for absurd inputs, far below the 2^53 double-exactness bound)
+        return F.floor((a + b - F.lit(1)) / b).cast("long")
+
+    ceil_w = ceil_div(wc * bh, hc)
+    ceil_h = ceil_div(hc * bw, wc)
+    resized_w = F.when(wider, ceil_w).otherwise(bw)
+    resized_h = F.when(wider, bh).otherwise(ceil_h)
+    crop_x = F.when(wider, F.floor((ceil_w - bw) / 2).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    crop_y = F.when(wider, F.lit(0).cast("long")).otherwise(
+        F.floor((ceil_h - bh) / 2).cast("long")
+    )
+    return {
+        "resized_w": resized_w,
+        "resized_h": resized_h,
+        "crop_x": crop_x,
+        "crop_y": crop_y,
+    }
+
+
+def _lc(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def assign_aspect_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,9 +149,11 @@ def assign_aspect_buckets(
     h_col: str = "h",
     ladder: tuple[tuple[int, int], ...] = DEFAULT_LADDER,
 ) -> DataFrame:
-    """(id, w, h, aspect, bucket_idx, bucket_w, bucket_h) — map-only."""
+    """(id, w, h, aspect, bucket_idx, bucket_w, bucket_h, resized_w,
+    resized_h, crop_x, crop_y) — map-only: ladder assignment plus the
+    exact cover-resize + center-crop plan onto the bucket shape."""
     e = aspect_bucket_exprs(w_col, h_col, ladder)
-    return df.select(
+    base = df.select(
         id_col,
         F.col(w_col).cast("long").alias("w"),
         F.col(h_col).cast("long").alias("h"),
@@ -106,6 +161,14 @@ def assign_aspect_buckets(
         e["bucket_idx"].alias("bucket_idx"),
         e["bucket_w"].cast("long").alias("bucket_w"),
         e["bucket_h"].cast("long").alias("bucket_h"),
+    )
+    r = resize_plan_exprs("w", "h", "bucket_w", "bucket_h")
+    return base.select(
+        "*",
+        r["resized_w"].alias("resized_w"),
+        r["resized_h"].alias("resized_h"),
+        r["crop_x"].alias("crop_x"),
+        r["crop_y"].alias("crop_y"),
     )
 
 
@@ -138,6 +201,35 @@ def aspect_bucket_sql_exprs(
     }
 
 
+def resize_plan_sql_exprs(
+    w: str = "w",
+    h: str = "h",
+    bucket_w: str = "bucket_w",
+    bucket_h: str = "bucket_h",
+) -> dict[str, str]:
+    """DuckDB twins of :func:`resize_plan_exprs` — pure BIGINT: integer
+    cross-product binding-side test, `//` ceil-division, `//` centering."""
+    wc = f"greatest(CAST({w} AS BIGINT), 1)"
+    hc = f"greatest(CAST({h} AS BIGINT), 1)"
+    bw = f"CAST({bucket_w} AS BIGINT)"
+    bh = f"CAST({bucket_h} AS BIGINT)"
+    wider = f"({wc} * {bh} >= {hc} * {bw})"
+    ceil_w = f"(({wc} * {bh} + {hc} - 1) // {hc})"
+    ceil_h = f"(({hc} * {bw} + {wc} - 1) // {wc})"
+    return {
+        "resized_w": f"CAST(CASE WHEN {wider} THEN {ceil_w} ELSE {bw} END AS BIGINT)",
+        "resized_h": f"CAST(CASE WHEN {wider} THEN {bh} ELSE {ceil_h} END AS BIGINT)",
+        "crop_x": (
+            f"CAST(CASE WHEN {wider} THEN ({ceil_w} - {bw}) // 2 "
+            f"ELSE 0 END AS BIGINT)"
+        ),
+        "crop_y": (
+            f"CAST(CASE WHEN {wider} THEN 0 "
+            f"ELSE ({ceil_h} - {bh}) // 2 END AS BIGINT)"
+        ),
+    }
+
+
 def assign_aspect_buckets_sql(
     img_cte: str,
     id_col: str = "doc_id",
@@ -148,16 +240,25 @@ def assign_aspect_buckets_sql(
     """DuckDB twin of :func:`assign_aspect_buckets` over an ``img`` CTE
     body providing (id, w, h)."""
     e = aspect_bucket_sql_exprs(w, h, ladder)
+    r = resize_plan_sql_exprs("w", "h", "bucket_w", "bucket_h")
     return f"""
 WITH img AS (
   {img_cte}
+),
+bkt AS (
+  SELECT {id_col},
+         CAST({w} AS BIGINT) AS w,
+         CAST({h} AS BIGINT) AS h,
+         round({e["aspect"]}, 6) AS aspect,
+         {e["bucket_idx"]} AS bucket_idx,
+         CAST({e["bucket_w"]} AS BIGINT) AS bucket_w,
+         CAST({e["bucket_h"]} AS BIGINT) AS bucket_h
+  FROM img
 )
-SELECT {id_col},
-       CAST({w} AS BIGINT) AS w,
-       CAST({h} AS BIGINT) AS h,
-       round({e["aspect"]}, 6) AS aspect,
-       {e["bucket_idx"]} AS bucket_idx,
-       CAST({e["bucket_w"]} AS BIGINT) AS bucket_w,
-       CAST({e["bucket_h"]} AS BIGINT) AS bucket_h
-FROM img
+SELECT {id_col}, w, h, aspect, bucket_idx, bucket_w, bucket_h,
+       {r["resized_w"]} AS resized_w,
+       {r["resized_h"]} AS resized_h,
+       {r["crop_x"]} AS crop_x,
+       {r["crop_y"]} AS crop_y
+FROM bkt
 """

@@ -170,3 +170,35 @@ def test_pack_payloads_materializes_in_order(spark):
         assert r.seq_text == " ".join(e["txt"]), k
     # multi-doc sequences exist and every sequence respects the order
     assert any(e["n"] > 1 for e in expect.values())
+
+
+def test_resize_plan_exact_cover_and_crop(spark):
+    # the resize plan must exactly cover the bucket: one side equals the
+    # bucket, the other is >= with the overshoot centered by div
+    rows = [(i, 16 + (i * 37) % 512, 16 + (i * 91) % 512) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w int, h int")
+    for r in assign_aspect_buckets(df).collect():
+        bw, bh = r.bucket_w, r.bucket_h
+        # python reference of the documented integer recipe
+        if r.w * bh >= r.h * bw:
+            exp = ((r.w * bh + r.h - 1) // r.h, bh)
+            crop = ((exp[0] - bw) // 2, 0)
+        else:
+            exp = (bw, (r.h * bw + r.w - 1) // r.w)
+            crop = (0, (exp[1] - bh) // 2)
+        assert (r.resized_w, r.resized_h) == exp, r
+        assert (r.crop_x, r.crop_y) == crop, r
+        assert r.resized_w >= bw and r.resized_h >= bh
+        assert r.resized_w == bw or r.resized_h == bh
+        assert r.crop_x + bw <= r.resized_w
+        assert r.crop_y + bh <= r.resized_h
+
+
+def test_resize_plan_exact_bucket_shape_is_identity(spark):
+    # an image already at a ladder shape resizes to itself, zero crop
+    df = spark.createDataFrame(
+        [(1, 1024, 1024), (2, 512, 2048)], "doc_id long, w int, h int"
+    )
+    for r in assign_aspect_buckets(df).collect():
+        assert (r.resized_w, r.resized_h) == (r.w, r.h)
+        assert (r.crop_x, r.crop_y) == (0, 0)
