@@ -280,3 +280,50 @@ def test_semdedup_degenerate_cell_at_guard_boundary(spark):
     assert by[False]["min_kept"] == 1
     # wall bound: linear in the guarded cell, quadratic only under the cap
     assert wall < 90.0, wall
+
+
+def test_packing_giant_document_skew(spark):
+    """Sequence packing under a giant-document shard: one 200k-token
+    document among 20k small ones. The assignment window shuffles only
+    (id, grp, n_tokens) — the giant doc is one tiny row there — and in
+    the materializer it lands alone in its spanning sequence (row size
+    == doc size, the irreducible cost of materialization). Walls must
+    stay in the uniform corpus's band and the spanning math must be
+    exact."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.operators.packing import pack_payloads, pack_sequences
+
+    small = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f g h").alias("text"),
+    )
+    giant = spark.createDataFrame(
+        [(999_999, " ".join(["tok"] * 200_000))], "doc_id long, text string"
+    )
+    docs = small.unionByName(giant)
+
+    t0 = _t.perf_counter()
+    asg = pack_sequences(docs, budget_tokens=64, n_groups=8)
+    rows = asg.collect()
+    wall_asg = _t.perf_counter() - t0
+    assert len(rows) == 20_001
+    g = [r for r in rows if r.doc_id == 999_999][0]
+    assert g.n_tokens == 200_000 and 0 <= g.seq_offset < 64
+
+    t0 = _t.perf_counter()
+    out = pack_payloads(docs, budget_tokens=64, n_groups=8)
+    seqs = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_tokens").alias("max_t"),
+        F.sum("n_tokens").alias("sum_t"),
+    ).collect()[0]
+    wall_pay = _t.perf_counter() - t0
+    # token conservation and the giant doc's spanning sequence
+    assert seqs["sum_t"] == 20_000 * 8 + 200_000
+    assert seqs["max_t"] >= 200_000  # the spanning sequence holds it all
+    # wall bounds: generous absolute caps (uniform runs take ~2-4s here)
+    assert wall_asg < 60, wall_asg
+    assert wall_pay < 90, wall_pay
