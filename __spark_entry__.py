@@ -1605,6 +1605,36 @@ def q_alignment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→image retrieval recall (r7): rank each caption's OWN image
+    by cosine among a deterministic hash-sampled negative pool — the
+    standard eval of CLIP-filtered pair data, in its scale shape
+    (bounded pool broadcast, ONE map-only Arrow crossing for the
+    corpus; nobody ranks the full 10^12 corpus). Deterministic md5-fake
+    encoders, same contract as q_alignment_filter."""
+    from kenlm_spark.operators.alignment import (
+        fake_image_encoder,
+        fake_text_encoder,
+        retrieval_recall,
+    )
+
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.col("doc_id").cast("string").alias("img_key"),
+    )
+    return retrieval_recall(
+        pairs,
+        id_col="doc_id",
+        caption_col="text",
+        image_key_col="img_key",
+        pool_mod=5,
+        k=5,
+        text_encoder=fake_text_encoder(8),
+        image_encoder=fake_image_encoder(8),
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: winnowing (MOSS) over Rabin-Karp rolling
     hashes — rightmost-minimal k-gram hash per window, map-only."""
@@ -1945,15 +1975,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: r7 driver window (the FIRST 50 entries of queries()): the 28 queries
 #: r6 rotated out (returning — all r5-green and untouched since), the
-#: 13 r7-touched/new queries (q_dsir_select + q_curation_full +
-#: q_pack_sequences + q_pack_payloads + q_aspect_buckets are new;
-#: q_domain_rebalance got the twin CAST + exact-division rewrite;
-#: semdedup/ivf/alignment were refactored under q_dedup_semantic,
-#: q_cluster_sample, q_similarity_ivf/_ivf_pq, q_alignment_filter,
-#: q_multimodal_curation; dsir under q_dsir_weights), and 9 fill
-#: (streaming paths + the r6-new image/selection queries). The 33
-#: rotated out are untouched this round and hash-green in
-#: CORRECTNESS_r06.json — see BENCH/SAMPLED_WINDOWS.md.
+#: 14 r7-touched/new queries (q_dsir_select + q_curation_full +
+#: q_pack_sequences + q_pack_payloads + q_aspect_buckets +
+#: q_retrieval_recall are new; q_domain_rebalance got the twin CAST +
+#: exact-division rewrite; semdedup/ivf/alignment were refactored under
+#: q_dedup_semantic, q_cluster_sample, q_similarity_ivf/_ivf_pq,
+#: q_alignment_filter, q_multimodal_curation; dsir under
+#: q_dsir_weights), and 8 fill (streaming paths + the r6-new
+#: image/selection queries). The 34 rotated out are untouched this
+#: round and hash-green in CORRECTNESS_r06.json — see
+#: BENCH/SAMPLED_WINDOWS.md.
 _R7_WINDOW = [
     # returning (28, unsampled in r6)
     "q_word_freq", "q_ngram_count_2", "q_lm_windows_3", "q_lm_adjusted_2",
@@ -1970,11 +2001,11 @@ _R7_WINDOW = [
     "q_dedup_semantic", "q_cluster_sample", "q_dsir_weights",
     "q_similarity_ivf", "q_similarity_ivf_pq", "q_alignment_filter",
     "q_multimodal_curation", "q_pack_sequences", "q_aspect_buckets",
-    "q_pack_payloads",
-    # fill (9)
+    "q_pack_payloads", "q_retrieval_recall",
+    # fill (8)
     "q_keep_drop_stream", "q_contamination_stream", "q_dedup_exact_stream",
     "q_image_quality", "q_dedup_phash", "q_keep_drop",
-    "q_chunk_documents", "q_ppl_by_source",
+    "q_ppl_by_source",
     "q_corpus_curation",
 ]
 
@@ -2044,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,  # NEW r6 (training windows)
         "q_pack_sequences": q_pack_sequences,  # NEW r7 (concat-and-pack)
         "q_pack_payloads": q_pack_payloads,  # NEW r7 (materialized seqs)
+        "q_retrieval_recall": q_retrieval_recall,  # NEW r7 (CLIP-eval)
         "q_aspect_buckets": q_aspect_buckets,  # NEW r7 (SDXL aspect ladder)
         "q_domain_rebalance": q_domain_rebalance,  # NEW r6 (data mixing)
         "q_alignment_filter": q_alignment_filter,  # NEW r6 (CLIP-score gate)
@@ -2398,6 +2430,9 @@ FROM img
         "q_pack_payloads": __import__(
             "kenlm_spark.operators.packing", fromlist=["x"]
         ).pack_payloads_sql(budget_tokens=64, n_groups=8),
+        "q_retrieval_recall": __import__(
+            "kenlm_spark.operators.alignment", fromlist=["x"]
+        ).retrieval_recall_sql(dim=8, pool_mod=5, k=5),
         "q_aspect_buckets": __import__(
             "kenlm_spark.operators.image_buckets", fromlist=["x"]
         ).assign_aspect_buckets_sql(

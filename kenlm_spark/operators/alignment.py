@@ -176,3 +176,167 @@ SELECT id, round({dot}, 6) AS align_score,
        round({dot}, 6) >= {thr} AS keep
 FROM _an
 """
+
+
+# ------------------------------------------------------- retrieval eval
+
+_POOL_SALT = "pool:"
+
+
+def retrieval_recall(
+    df: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    image_key_col: str = "image_id",
+    pool_mod: int = 5,
+    k: int = 5,
+    text_encoder=None,
+    image_encoder=None,
+) -> DataFrame:
+    """(id, own_cos, rank, hit1, hitk) — text→image retrieval recall,
+    the standard eval of CLIP-filtered pair data: for each caption, rank
+    its OWN image by cosine among a deterministic hash-sampled negative
+    pool (1/``pool_mod`` of the corpus images) plus itself.
+
+    Scale shape: the pool is bounded (a sample, not the corpus) and its
+    unit image vectors broadcast; the corpus then crosses Python ONCE —
+    each Arrow batch embeds its captions + own images and ranks against
+    the resident pool matrix, map-only, no shuffle. This is exactly the
+    sampled-negatives protocol large-scale retrieval evals use (a full
+    corpus ranking is O(N²) and nobody runs it at 10^12).
+
+    Determinism/parity contract: cosines accumulate dim-SEQUENTIALLY and
+    round at 6 before any comparison; ``rank`` = 1 + #{pool j ≠ i :
+    (c_j, -j) beats (own, -i)} with ties broken toward the smaller id
+    (a pool member tying the own image outranks it iff j < i) — the
+    identical rule in the DuckDB twin.
+    """
+    spark = df.sparkSession
+    tenc = text_encoder or _default_encoder
+    ienc = image_encoder or _default_encoder
+    from kenlm_spark.operators.dedup import h60
+
+    pool_rows = (
+        df.select(
+            F.col(id_col).alias("pid"),
+            F.col(image_key_col).cast("string").alias("pkey"),
+        )
+        .filter(
+            F.pmod(
+                h60(F.concat(F.lit(_POOL_SALT), F.col(id_col).cast("string"))),
+                F.lit(pool_mod),
+            )
+            == 0
+        )
+        .collect()  # bounded by construction: a 1/pool_mod sample of ids
+    )
+    if not pool_rows:
+        raise ValueError("empty negative pool: lower pool_mod")
+    pool_ids = np.asarray([r["pid"] for r in pool_rows], dtype=np.int64)
+    pv = np.asarray(ienc([r["pkey"] for r in pool_rows]), dtype=np.float64)
+    pvn = pv / _seq_sq_norm(pv)[:, None]
+    bc = spark.sparkContext.broadcast((pool_ids, pvn))
+
+    def run(batches):
+        pids, pmat = bc.value
+        dim = pmat.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = np.asarray(tenc(list(pdf["_cap"])), dtype=np.float64)
+            im = np.asarray(ienc(list(pdf["_key"])), dtype=np.float64)
+            tn = t / _seq_sq_norm(t)[:, None]
+            inn = im / _seq_sq_norm(im)[:, None]
+            own = np.round(_seq_dot(tn, inn), 6)
+            # pool cosines with the same sequential-over-dims fold the
+            # SQL twin's list_sum uses
+            acc = np.zeros((len(tn), len(pids)))
+            for d in range(dim):
+                acc += tn[:, d : d + 1] * pmat[None, :, d][0]
+            pc = np.round(acc, 6)
+            ids = pdf["_id"].to_numpy()
+            beats = (
+                (pc > own[:, None])
+                | ((pc == own[:, None]) & (pids[None, :] < ids[:, None]))
+            ) & (pids[None, :] != ids[:, None])
+            rank = 1 + beats.sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "own_cos": own,
+                    "rank": rank.astype("int64"),
+                    "hit1": rank == 1,
+                    "hitk": rank <= k,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(caption_col).alias("_cap"),
+        F.col(image_key_col).cast("string").alias("_key"),
+    ).mapInPandas(
+        run, "id long, own_cos double, rank long, hit1 boolean, hitk boolean"
+    )
+
+
+def retrieval_recall_sql(
+    dim: int = 8,
+    pool_mod: int = 5,
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    caption_col: str = "text",
+    image_key_expr: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`retrieval_recall` with the fake encoders
+    (cross join against the pool — fine at oracle scale; the Spark side
+    broadcasts the pool instead)."""
+    key = image_key_expr or f"CAST({id_col} AS VARCHAR)"
+    vec = lambda salt, expr: fake_vec_sql(salt, expr, dim)  # noqa: E731
+
+    def unit(x: str) -> str:
+        return (
+            f"list_transform({x}, e -> e / sqrt(list_sum("
+            f"list_transform(generate_series(1, len({x})), "
+            f"i -> {x}[i] * {x}[i]))))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    h = (
+        f"CAST(('0x' || substring(md5('{_POOL_SALT}' || "
+        f"CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH _rv AS (
+  SELECT {id_col} AS id,
+         {vec('at:', f"coalesce({caption_col}, '')")} AS tv,
+         {vec('ai:', f"coalesce({key}, '')")} AS iv
+  FROM {table}
+),
+_rn AS (SELECT id, {unit('tv')} AS tn, {unit('iv')} AS inn FROM _rv),
+_own AS (SELECT id, tn, round({dot('tn', 'inn')}, 6) AS own_cos FROM _rn),
+_pool AS (
+  SELECT id AS pid, inn AS pvn FROM _rn
+  WHERE (({h} % {pool_mod}) + {pool_mod}) % {pool_mod} = 0
+),
+_beats AS (
+  SELECT o.id, o.own_cos,
+         SUM(CASE WHEN p.pid <> o.id AND (
+               round({dot('o.tn', 'p.pvn')}, 6) > o.own_cos
+               OR (round({dot('o.tn', 'p.pvn')}, 6) = o.own_cos
+                   AND p.pid < o.id)
+             ) THEN 1 ELSE 0 END) AS beats
+  FROM _own o CROSS JOIN _pool p
+  GROUP BY o.id, o.own_cos
+)
+SELECT id, own_cos,
+       CAST(1 + beats AS BIGINT) AS rank,
+       (1 + beats) = 1 AS hit1,
+       (1 + beats) <= {k} AS hitk
+FROM _beats
+"""
