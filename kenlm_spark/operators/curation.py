@@ -163,7 +163,8 @@ def fused_alignment_semdedup(
         *passthrough,
     ).mapInPandas(
         run,
-        "nid long, align_score double, aligned boolean, vn array<double>,"
+        f"nid {pairs.schema[id_col].dataType.simpleString()}, "
+        "align_score double, aligned boolean, vn array<double>,"
         " cell int, c_sim double" + pt_schema,
     )
 

@@ -235,8 +235,11 @@ def semdedup_losers(
             a_loses = (ca > cb) | ((ca == cb) & (ia > ib))
             yield pd.DataFrame({"loser": np.where(a_loses, ia, ib)})
 
+    # id-type-generic: composed callers (curation over the north-rule
+    # image_id:string) reuse this with non-long ids
+    id_t = wide.schema["nid"].dataType.simpleString()
     return (
-        joined.mapInPandas(verify_pass, "loser long")
+        joined.mapInPandas(verify_pass, f"loser {id_t}")
         .distinct()
         .select(F.col("loser").alias("nid"))
     )

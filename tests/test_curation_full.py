@@ -165,3 +165,61 @@ def test_plan_gates_two_crossings_no_smj(spark):
     # only semdedup's pair-bounded verify crosses Python in the label plan
     assert final.count("MapInPandas") == 1
     assert final.count("ArrowEvalPython") == 0
+
+
+def test_run_curation_job_cli(spark, tmp_path):
+    """The spark-submit curation entrypoint works end to end over the
+    north-rule input schema: snapshot committed atomically, drop_reason
+    rollup consistent with the committed labels, selected = the
+    conjunction."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.pipeline import QualityFilterPipeline
+    from run_curation_job import main
+
+    images = generate_images(spark, n_rows=60, seed=11)
+    inp = str(tmp_path / "in")
+    images.write.parquet(inp)
+    rc = main(
+        [
+            "--input", inp,
+            "--output", str(tmp_path / "out"),
+            "--encoders", "fake",
+            "--align-threshold", "0.1",
+            "--n-cells", "4",
+            "--sample-frac", "1.0",
+        ]
+    )
+    assert rc == 0
+    out = QualityFilterPipeline.latest_snapshot(spark, str(tmp_path / "out"))
+    assert out.count() == 60
+    # selected == every stage passed; drop_reason attribution is total
+    bad = out.filter(
+        F.col("selected")
+        != (
+            F.col("image_pass")
+            & F.col("image_canonical")
+            & F.col("caption_canonical")
+            & F.col("aligned")
+            & F.col("semantic_canonical")
+        )
+    ).count()
+    assert bad == 0
+    assert (
+        out.filter(~F.col("selected") & F.col("drop_reason").isNull()).count()
+        == 0
+    )
+    assert (
+        out.filter(F.col("selected") & F.col("drop_reason").isNotNull()).count()
+        == 0
+    )
+    # an unknown encoder spec fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--input", inp, "--output", str(tmp_path / "o2"),
+              "--encoders", "nope"])
