@@ -193,12 +193,20 @@ def curate_multimodal_full(
     max_hamming: int = 6,
     max_bucket: int = 2000,
     broadcast_drops: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, image_pass, image_canonical, caption_canonical, align_score,
     aligned, semantic_canonical, selected, drop_reason) — the five-stage
     curation over a pair table that already carries the map-side gate
-    columns (``image_pass``, ``phash``, ``caption_hash``)."""
-    cent = train_pair_centroids(
+    columns (``image_pass``, ``phash``, ``caption_hash``).
+
+    ``centroids``: pass a pre-trained (n_cells, dim) array to skip the
+    in-job k-means — production reuses the IVF coarse quantizer across
+    runs (the SemDeDup index is the similarity index), so the train
+    phase is a one-time cost, not a per-job one. When given, the
+    ``n_cells``/``iters``/``sample``/``sample_frac`` training knobs are
+    ignored."""
+    cent = centroids if centroids is not None else train_pair_centroids(
         pairs,
         image_encoder,
         id_col=id_col,

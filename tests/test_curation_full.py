@@ -223,3 +223,48 @@ def test_run_curation_job_cli(spark, tmp_path):
     with _pytest.raises(SystemExit):
         main(["--input", inp, "--output", str(tmp_path / "o2"),
               "--encoders", "nope"])
+
+
+def test_precomputed_centroids_identical_labels(spark):
+    """Passing the pre-trained centroid array (the production reuse
+    path: the SemDeDup index IS the IVF index) must give bit-identical
+    labels to in-job training with the same knobs."""
+    from pyspark.sql import functions as F
+
+    from kenlm_spark.data import generate_images
+    from kenlm_spark.filtering.image_quality import (
+        image_metric_exprs,
+        image_pass_expr,
+    )
+    from kenlm_spark.operators.alignment import (
+        fake_image_encoder,
+        fake_text_encoder,
+    )
+    from kenlm_spark.operators.curation import (
+        curate_multimodal_full,
+        train_pair_centroids,
+    )
+    from kenlm_spark.operators.dedup import h60, norm_text
+
+    images = generate_images(spark, n_rows=40, seed=3)
+    spine = images.select(
+        "image_id",
+        "caption",
+        F.col("image_id").alias("img_key"),
+        F.col("phash").cast("long").alias("phash"),
+        h60(norm_text("caption")).alias("caption_hash"),
+        image_pass_expr(image_metric_exprs()).alias("image_pass"),
+    )
+    kw = dict(
+        id_col="image_id", caption_col="caption", image_key_col="img_key",
+        align_threshold=0.1, n_cells=4, iters=2, sample_frac=1.0,
+    )
+    tenc, ienc = fake_text_encoder(8), fake_image_encoder(8)
+    cent = train_pair_centroids(
+        spine, ienc, id_col="image_id", image_key_col="img_key",
+        n_cells=4, iters=2, sample_frac=1.0,
+    )
+    a = sorted(map(tuple, curate_multimodal_full(spine, tenc, ienc, **kw).collect()))
+    b = sorted(map(tuple, curate_multimodal_full(
+        spine, tenc, ienc, centroids=cent, **kw).collect()))
+    assert a == b and len(a) == 40
