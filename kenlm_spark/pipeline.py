@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -416,6 +417,44 @@ class QualityFilterPipeline:
             chain.append(cur)
             cur = by_id.get(cur.get("parent_snapshot_id"))
         return chain
+
+    @staticmethod
+    def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
+        """Iceberg-style snapshot expiry: delete all but the newest
+        ``keep_last`` snapshots' data and manifests, returning the
+        expired snapshot ids. The kept manifests are REWRITTEN so the
+        oldest survivor's ``parent_snapshot_id`` becomes None — the
+        lineage chain stays walkable end to end (it just starts later),
+        exactly like Iceberg's expire_snapshots truncating table
+        history. Deletion order is manifest-first, so a crash mid-expiry
+        leaves orphaned data files (collectable by rerunning) rather
+        than a visible manifest pointing at deleted data."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        mdir = os.path.join(root, "manifests")
+        if not os.path.isdir(mdir):
+            return []
+        manifests = []
+        for p in os.listdir(mdir):
+            if p.endswith(".json"):
+                with open(os.path.join(mdir, p)) as fh:
+                    manifests.append(json.load(fh))
+        manifests.sort(key=lambda m: m["committed_at"])
+        expired, kept = manifests[:-keep_last], manifests[-keep_last:]
+        expired_ids = {m["snapshot_id"] for m in expired}
+        for m in expired:
+            os.remove(os.path.join(mdir, f"{m['snapshot_id']}.json"))
+            shutil.rmtree(m["data_path"], ignore_errors=True)
+        # re-root the oldest survivor (and heal any kept manifest whose
+        # parent was expired — only possible if history forked)
+        for m in kept:
+            if m.get("parent_snapshot_id") in expired_ids:
+                m["parent_snapshot_id"] = None
+                tmp = os.path.join(mdir, f".{m['snapshot_id']}.tmp")
+                with open(tmp, "w") as fh:
+                    json.dump(m, fh)
+                os.rename(tmp, os.path.join(mdir, f"{m['snapshot_id']}.json"))
+        return sorted(expired_ids)
 
     def run_resumable(
         self, images: DataFrame, checkpoint_root: str, text_col: str = "caption"

@@ -525,3 +525,38 @@ def test_run_filter_job_cli(spark, tmp_path):
     gated = out2.filter("drop_reason = 'image'").count()
     small = out2.filter("least(w, h) < 12").count()
     assert gated == small and gated > 0
+
+
+def test_expire_snapshots_trims_history_keeps_lineage(spark, tmp_path):
+    """Iceberg-style expiry: old snapshots' data + manifests go, the
+    kept chain re-roots at the oldest survivor and stays walkable, and
+    latest_snapshot / resume are unaffected."""
+    import os
+
+    root = str(tmp_path / "snaps")
+    df = spark.createDataFrame([(1, "a")], "image_id long, caption string")
+    ids = [
+        QualityFilterPipeline.write_snapshot(df, root, run_id=f"s{i}")
+        for i in range(4)
+    ]
+    expired = QualityFilterPipeline.expire_snapshots(root, keep_last=2)
+    assert expired == sorted(ids[:2])
+    # expired data + manifests gone
+    for sid in ids[:2]:
+        assert not os.path.exists(os.path.join(root, "data", sid))
+        assert not os.path.exists(
+            os.path.join(root, "manifests", f"{sid}.json")
+        )
+    # chain re-rooted: latest -> s2 -> None, fully walkable
+    chain = QualityFilterPipeline.snapshot_lineage(root)
+    assert [m["snapshot_id"] for m in chain] == [ids[3], ids[2]]
+    assert chain[-1]["parent_snapshot_id"] is None
+    # reads still work
+    out = QualityFilterPipeline.latest_snapshot(spark, root)
+    assert out is not None and out.count() == 1
+    # keep_last larger than history: no-op
+    assert QualityFilterPipeline.expire_snapshots(root, keep_last=10) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        QualityFilterPipeline.expire_snapshots(root, keep_last=0)
