@@ -25,6 +25,11 @@ environments without the models.
 Commits an atomic snapshot (manifest-last, parent lineage — the
 Iceberg visibility contract of `pipeline.write_snapshot`) and prints a
 per-stage drop rollup plus per-partition row counts as JSON lines.
+Unlike the filter job there is deliberately no per-id resume: dedup and
+SemDeDup labels are corpus-global (a new batch can demote yesterday's
+canonical), so the job recomputes over the full input and each commit
+is a complete labeling; use `QualityFilterPipeline.expire_snapshots`
+to trim history.
 """
 
 from __future__ import annotations
