@@ -1377,7 +1377,7 @@ def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_pass_expr,
     )
     from kenlm_spark.operators.dedup import exact_duplicates, h60, norm_text
-    from kenlm_spark.operators.multimodal import phash_near_pairs
+    from kenlm_spark.operators.multimodal import phash_dropped_ids
 
     docs = _docs(spark, sf_dir)
     spine = docs.select(
@@ -1390,12 +1390,13 @@ def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spine.select(
         "doc_id", "phash", "_th", image_pass_expr(m).alias("image_pass")
     )
+    # r8: dropped-id fast path — distinct over id_b only (the label set),
+    # not over the multi-band pair emissions (guide §2.3)
     pdrop = (
-        phash_near_pairs(
+        phash_dropped_ids(
             spine.select("doc_id", "phash"), "doc_id", "phash"
         )
         .select(F.col("id_b").alias("doc_id"))
-        .distinct()
         .withColumn("_pdrop", F.lit(True))
     )
     dups = exact_duplicates(docs).select(

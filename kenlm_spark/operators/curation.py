@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kenlm_spark.operators.ivf import _sample_filter, lloyd_iterations
-from kenlm_spark.operators.multimodal import phash_near_pairs
+from kenlm_spark.operators.multimodal import phash_dropped_ids
 from kenlm_spark.operators.semdedup import semdedup_losers
 from kenlm_spark.operators.similarity import _seq_dot, _seq_sq_norm
 
@@ -229,8 +229,11 @@ def curate_multimodal_full(
     ).localCheckpoint(eager=True)
 
     maybe_bc = F.broadcast if broadcast_drops else (lambda df: df)
+    # dropped-id fast path (r8): the labels only need distinct id_b, so
+    # skip the pair-level distinct — the multi-band pair fan-out partial-
+    # aggregates down to the id set map-side (phash_dropped_ids)
     pdrop = maybe_bc(
-        phash_near_pairs(
+        phash_dropped_ids(
             fused.select("nid", phash_col),
             id_col="nid",
             phash_col=phash_col,
@@ -238,7 +241,6 @@ def curate_multimodal_full(
             max_bucket=max_bucket,
         )
         .select(F.col("id_b").alias("nid"))
-        .distinct()
         .withColumn("_pdrop", F.lit(True))
     )
     # dup GROUPS only (HAVING n > 1): unique captions never join — the

@@ -371,6 +371,50 @@ def phash_near_pairs(
     coarse key (e.g. phash's top byte) or move to a longer hash.
     scripts/bench_scaling_phash.py measures the N->4N scaling of this
     operator at max_hamming=2."""
+    return _phash_pair_emissions(
+        df, id_col, phash_col, max_hamming, max_bucket
+    ).distinct()
+
+
+def phash_dropped_ids(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 6,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """DISTINCT ``id_b`` of :func:`phash_near_pairs` — the dropped-id
+    set of the greedy smaller-id-wins dedup rule, WITHOUT the pair-level
+    distinct (r8, guide §2.3): a dense near-dup cluster emits each pair
+    from up to ``max_hamming + 1`` bands, and ``distinct`` over those
+    multi-band pair emissions is a pair-scale 4-column shuffle.  The
+    labels path only needs the distinct losers, and
+    ``distinct(id_b over emissions) == distinct(id_b over distinct
+    pairs)`` by set algebra, so deduping the single id column instead
+    lets the partial (map-side) aggregate collapse the pair fan-out to
+    at most #distinct-ids rows per task before the exchange.  The
+    hamming verify runs per EMISSION (cheap codegen popcount) — the
+    qualifying-pair set is unchanged."""
+    return (
+        _phash_pair_emissions(df, id_col, phash_col, max_hamming, max_bucket)
+        .select("id_b")
+        .distinct()
+    )
+
+
+def _phash_pair_emissions(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str,
+    max_hamming: int,
+    max_bucket: int,
+) -> DataFrame:
+    """(id_a, id_b, hamming) candidate-pair EMISSIONS, hamming-verified
+    but NOT dedup'd across bands: a qualifying pair appears once per
+    band whose bucket both members share (and survived the size guard).
+    ``phash_near_pairs`` dedups the pairs; ``phash_dropped_ids`` dedups
+    only ``id_b``.  The popcount verify runs before either distinct so
+    non-qualifying candidates never reach an exchange."""
     if not 1 <= max_hamming <= 63:
         # 0 would make the single band's mask 2^64-1 (exceeds BIGINT in
         # both engines) — and Hamming-0 IS exact dedup: groupBy(phash)
@@ -402,33 +446,40 @@ def phash_near_pairs(
         "id", "ph", F.explode(F.array(*band_structs)).alias("_bb")
     ).select("id", "ph", F.col("_bb.band").alias("band"),
              F.col("_bb.bucket").alias("bucket"))
-    # Size-filter BEFORE collect_list (r5, mirrors minhash_lsh_pairs): a
-    # flat-color bucket would otherwise accumulate its whole (id, ph)
-    # struct array in one non-spillable aggregation buffer.  The window
-    # count shares the (band, bucket) hash partitioning with the groupBy,
-    # so this is still one exchange, and WindowExec's row buffer spills.
+    # Size-filter via a window count BEFORE any pairing (r5 guard,
+    # mirrors minhash_lsh_pairs): a flat-color bucket never reaches the
+    # pair stage; WindowExec's row buffer spills.
     w_bucket = Window.partitionBy("band", "bucket")
-    members = (
+    kept = (
         bands.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
         .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "ph"))).alias("ms"))
+        .select("id", "ph", "band", "bucket")
     )
-    pair_expr = F.expr(
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), "
-        "y -> struct(x.id as id_a, y.id as id_b, x.ph as ph_a, "
-        "y.ph as ph_b))))"
+    # Bucket SELF-JOIN pair expansion (r8): the r5 collect_list +
+    # flatten(transform(slice(...))) fan-out allocated O(m²) interpreted
+    # HOF structs per bucket (~90M at 50k docs with dense clusters) and
+    # dominated every phash query; the equi-join form generates the
+    # identical i<j-by-id pair set through whole-stage codegen, with the
+    # popcount verify inlined as a cheap intrinsic in the join filter
+    # (the simhash_near_pairs shape).  The window's (band, bucket) hash
+    # partitioning satisfies the join's distribution, so both sides
+    # reuse one exchange shape and no per-bucket array is ever
+    # materialized (also deleting the r5 collect_list memory concern).
+    a = kept.select(
+        "band", "bucket",
+        F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
     )
-    pairs = (
-        members.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
-        .distinct()
+    b = kept.select(
+        "band", "bucket",
+        F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
     )
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return pairs.select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def phash_near_pairs_sql(
@@ -502,10 +553,9 @@ def phash_dedup_labels(
     the driver at a 6.4M-id dropped set, scripts/bench_scaling_phash.py
     runs the shuffle path).
     """
-    pairs = phash_near_pairs(df, id_col, phash_col, max_hamming, max_bucket)
     dropped = (
-        pairs.select(F.col("id_b").alias(id_col))
-        .distinct()
+        phash_dropped_ids(df, id_col, phash_col, max_hamming, max_bucket)
+        .select(F.col("id_b").alias(id_col))
         .withColumn("_dup", F.lit(True))
     )
     if broadcast_drops:

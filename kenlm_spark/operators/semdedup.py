@@ -117,11 +117,17 @@ def semdedup_labels(
             )
 
     # one corpus pass, checkpointed: the downstream fan-out (cell-size
-    # guard, candidate join, two vector rejoins, label join) re-reads
-    # the materialized (nid, vn, cell, c_sim) instead of re-running
-    # Python — at production scale this is the written cluster index
+    # guard, candidate pair join, label join) re-reads the materialized
+    # (nid, vn, cell, c_sim) instead of re-running Python — at
+    # production scale this is the written cluster index.
+    # ensure_min_partitions (r8): a single-file embedding table would
+    # otherwise run the assign pass AND the in-cell pair probe on ONE
+    # task (guide §2.6 stragglers); at production scale the scan has
+    # thousands of splits and this is a no-op.
+    from kenlm_spark.session import ensure_min_partitions
+
     wide = (
-        emb.select(id_col, vec_col)
+        ensure_min_partitions(emb.select(id_col, vec_col))
         .mapInPandas(
             assign_pass,
             "nid long, vn array<double>, cell int, c_sim double",
@@ -163,7 +169,21 @@ def semdedup_losers(
     docstring); for cells at or under the cap ``nsplit = 1`` and the
     subcell term is identically 0, so healthy corpora are bit-unchanged.
     ``split_oversized=False`` drops oversized cells from pairing instead
-    (the pre-r7 guard)."""
+    (the pre-r7 guard).
+
+    Verify is pure Catalyst (r8, guide §4.1): the pair cosine is a
+    left-fold ``aggregate(zip_with(va, vb, *), 0.0, +)`` — the identical
+    IEEE operation order as the numpy ``_seq_dot`` it replaced — rounded
+    as ``rint(x * 1e6) / 1e6``, which is bit-for-bit ``np.round(x, 6)``
+    (numpy's documented multiply/rint/divide recipe).  This deletes the
+    two pair-scale id-keyed vector rejoins AND the Arrow crossing of
+    every candidate pair (2×dim doubles/pair — the dominant cost at any
+    scale); the vectors now ride the single (cell, sub) shuffle of the
+    corpus-sized ``wide`` table instead.  NaN guards reproduce numpy
+    comparison semantics exactly (numpy: any comparison with NaN is
+    false; Spark orders NaN greatest): a NaN score never qualifies, and
+    a NaN centroid cosine on either side makes ``id_b`` the loser, both
+    matching the old verify bit-for-bit."""
     from kenlm_spark.operators.dedup import h60
 
     counts = wide.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
@@ -172,12 +192,14 @@ def semdedup_losers(
             "cell",
             F.expr(f"((_n - 1) div {max_cell}) + 1").alias("_nsplit"),
         )
-        ids = (
-            wide.select("nid", "cell")
+        sub = (
+            wide.select("nid", "cell", "vn", "c_sim")
             .join(F.broadcast(splits), "cell")
             .select(
                 "nid",
                 "cell",
+                "vn",
+                "c_sim",
                 F.pmod(
                     h60(
                         F.concat(
@@ -190,58 +212,49 @@ def semdedup_losers(
         )
     else:
         big = counts.filter(F.col("_n") > max_cell).select("cell")
-        ids = (
-            wide.select("nid", "cell")
+        sub = (
+            wide.select("nid", "cell", "vn", "c_sim")
             .join(big, "cell", "left_anti")
             .withColumn("sub", F.lit(0).cast("long"))
         )
-    a, b = ids.alias("a"), ids.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell"))
-        & (F.col("a.sub") == F.col("b.sub"))
-        & (F.col("a.nid") < F.col("b.nid")),
-    ).select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
-    joined = cand.join(
-        wide.select(
-            F.col("nid").alias("id_a"),
-            F.col("vn").alias("va"),
-            F.col("c_sim").alias("ca"),
-        ),
-        "id_a",
-    ).join(
-        wide.select(
-            F.col("nid").alias("id_b"),
-            F.col("vn").alias("vb"),
-            F.col("c_sim").alias("cb"),
-        ),
-        "id_b",
+    a = sub.select(
+        "cell",
+        "sub",
+        F.col("nid").alias("id_a"),
+        F.col("vn").alias("va"),
+        F.col("c_sim").alias("ca"),
     )
-
-    def verify_pass(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            va = np.asarray([np.asarray(v) for v in pdf["va"]])
-            vb = np.asarray([np.asarray(v) for v in pdf["vb"]])
-            score = np.round(_seq_dot(va, vb), 6)
-            dup = score >= tau
-            ia = pdf["id_a"].to_numpy()[dup]
-            ib = pdf["id_b"].to_numpy()[dup]
-            ca = pdf["ca"].to_numpy()[dup]
-            cb = pdf["cb"].to_numpy()[dup]
-            # paper rule on rounded cosines: the more centroid-typical
-            # member drops; ties drop the larger id
-            a_loses = (ca > cb) | ((ca == cb) & (ia > ib))
-            yield pd.DataFrame({"loser": np.where(a_loses, ia, ib)})
-
-    # id-type-generic: composed callers (curation over the north-rule
-    # image_id:string) reuse this with non-long ids
-    id_t = wide.schema["nid"].dataType.simpleString()
+    b = sub.select(
+        "cell",
+        "sub",
+        F.col("nid").alias("id_b"),
+        F.col("vn").alias("vb"),
+        F.col("c_sim").alias("cb"),
+    )
+    pairs = a.join(b, ["cell", "sub"]).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.call_function("rint", dot * F.lit(1000000.0)) / F.lit(
+        1000000.0
+    )
+    # paper rule on rounded cosines: the more centroid-typical member
+    # drops; ties drop the larger id (NaN cosines: id_b, as numpy did)
+    loser = (
+        F.when(F.isnan("ca") | F.isnan("cb"), F.col("id_b"))
+        .when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+    )
     return (
-        joined.mapInPandas(verify_pass, f"loser {id_t}")
+        pairs.filter((score >= F.lit(float(tau))) & ~F.isnan(score))
+        .select(loser.alias("nid"))
         .distinct()
-        .select(F.col("loser").alias("nid"))
     )
 
 
