@@ -497,8 +497,10 @@ def q_keep_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stream_src(sf_dir, "documents")
     schema = spark.read.parquet(src).schema
-    docs = spark.readStream.schema(schema).parquet(src).select(
-        "doc_id", "text"
+    docs = _spread_stream(
+        spark.readStream.schema(schema).parquet(src).select(
+            "doc_id", "text"
+        )
     )
     out = _keep_drop_frame(spark, docs)
     name = f"keep_drop_stream_{uuid.uuid4().hex[:8]}"
@@ -689,6 +691,21 @@ def _stream_src(sf_dir: str, name: str) -> str:
     return d
 
 
+def _spread_stream(stream: DataFrame) -> DataFrame:
+    """Round-robin-repartition a streaming source to the session's
+    default parallelism (r8, guide §2.6): the toy file source is ONE
+    small parquet file, so every micro-batch otherwise runs its whole
+    map side (shingle hashing, LM scoring, state updates feed) as a
+    single task — measured 7-30x under-parallelism at sf1.0.  The
+    shuffled payload is the raw input rows (KBs here); a production
+    Kafka/Iceberg source has real source parallelism and a caller there
+    would drop this.  Streaming twin of ensure_min_partitions (which
+    cannot probe .rdd on a streaming frame)."""
+    return stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL Structured Streaming: exact dedup via dropDuplicates on
     the content hash, drained with availableNow into a memory sink. The
@@ -765,8 +782,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kenlm_spark.operators.dedup import stratified_sample
 
     docs = _docs(spark, sf_dir).withColumn("lang", lang_expr("text"))
+    # pushdown_barrier (r8): keeps the hash filter ABOVE the lang
+    # projection — otherwise the optimizer inlines the 8-regexp
+    # lang_expr into the pushed predicate and runs it, CSE-free, on the
+    # single-split scan task (16.9s -> 2.0s at sf1.0; see operator doc)
     out = stratified_sample(
-        docs, "lang", {"en": 0.3, "und": 1.0}, default_fraction=0.8
+        docs, "lang", {"en": 0.3, "und": 1.0}, default_fraction=0.8,
+        pushdown_barrier=True,
     )
     return out.select("doc_id", "lang")
 
@@ -1748,7 +1770,7 @@ def q_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stream_src(sf_dir, "documents")
     schema = spark.read.parquet(src).schema
-    stream = (
+    stream = _spread_stream(
         spark.readStream.schema(schema)
         .parquet(src)
         .select("doc_id", "text")

@@ -126,61 +126,91 @@ def predict_langid_nb(
     docs: DataFrame, weights: DataFrame, priors: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """(id, lang_nb): argmax_lang [prior + Σ_seen w + n_in_vocab·penalty]."""
+    """(id, lang_nb): argmax_lang [prior + Σ_seen w + n_in_vocab·penalty].
+
+    r8 shape (guide §2.3 — generate/aggregate fewer rows): the r6 form
+    joined (doc, distinct-trigram) rows against the (tri, lang, w) table,
+    exploding to one row per (doc, trigram, LANGUAGE) before an
+    (id, lang)-keyed aggregation — ×|langs| row volume through the hash
+    aggregate, then a corpus-scale Window for the argmax.  The language
+    set is tiny and known (it IS the priors table), so instead the
+    weight table pivots to ONE row per trigram carrying the per-language
+    weight vector (an absent (tri, lang) pair coalesces to that
+    language's add-one penalty — the same unseen-trigram charge the old
+    ``n_iv − n_seen`` bookkeeping applied), the pivot broadcasts, and
+    one |langs|-column partial aggregation per document computes every
+    language's sum directly:
+
+        score_l = logp_l + Σ_tri cnt·(w(tri,l) if seen else penalty_l)
+
+    — algebraically the r6 formula, refactored.  The argmax (ties to the
+    lexicographically smallest language, as before) is a greatest() +
+    first-match CASE, no Window.  The priors collect driver-side
+    (≤|langs| rows; that one tiny action replaces the corpus-scale
+    crossJoin grid)."""
+    prior_rows = sorted(
+        (r["lang"], float(r["logp"]), float(r["penalty"]))
+        for r in priors.collect()
+    )
+    if not prior_rows:
+        # empty training set degrades to the sentinel (as before)
+        return docs.select(
+            F.col(id_col).alias("id"), F.lit("und").alias("lang_nb")
+        )
+    langs = [lang for lang, _, _ in prior_rows]
+    max_logp = max(logp for _, logp, _ in prior_rows)
+    fallback = min(t for t in prior_rows if t[1] == max_logp)[0]
+    wvec = weights.groupBy("tri").agg(
+        *[
+            F.max(F.when(F.col("lang") == lang, F.col("w"))).alias(f"_w{i}")
+            for i, lang in enumerate(langs)
+        ]
+    )
+    wvec = wvec.select(
+        "tri",
+        *[
+            F.coalesce(F.col(f"_w{i}"), F.lit(pen)).alias(f"_w{i}")
+            for i, (_, _, pen) in enumerate(prior_rows)
+        ],
+    )
     # distinct trigrams per doc with multiplicities in one map-only pass;
-    # the weights join then carries one row per (doc, DISTINCT trigram,
-    # lang) instead of one per occurrence
+    # out-of-vocabulary trigrams drop at the broadcast join (they affect
+    # no language)
     dtri = _tri_counts(docs, id_col, text_col, "long").withColumnRenamed(
         "key", "id"
     )
-    vocab = weights.select("tri").distinct()
-    in_vocab = dtri.join(vocab, "tri")  # trigrams outside V affect no lang
-    n_iv = in_vocab.groupBy("id").agg(F.sum("cnt").alias("n_iv"))
-
-    seen = (
-        in_vocab.join(weights, "tri")
-        .groupBy("id", "lang")
+    sums = (
+        dtri.join(F.broadcast(wvec), "tri")
+        .groupBy("id")
         .agg(
-            F.sum(F.col("cnt") * F.col("w")).alias("sum_w"),
-            F.sum("cnt").alias("n_seen"),
+            *[
+                F.sum(F.col("cnt") * F.col(f"_w{i}")).alias(f"_s{i}")
+                for i in range(len(langs))
+            ]
         )
     )
-    # every doc scores every language: cross the per-doc trigram count
-    # with priors, then add the seen-trigram corrections
-    grid = n_iv.crossJoin(priors)
-    scored = grid.join(seen, ["id", "lang"], "left").select(
+    scored = sums.select(
         "id",
-        "lang",
-        (
-            F.col("logp")
-            + F.coalesce(F.col("sum_w"), F.lit(0.0))
-            + (F.col("n_iv") - F.coalesce(F.col("n_seen"), F.lit(0)))
-            * F.col("penalty")
-        ).alias("score"),
+        *[
+            (F.lit(logp) + F.col(f"_s{i}")).alias(f"_sc{i}")
+            for i, (_, logp, _) in enumerate(prior_rows)
+        ],
     )
-    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("lang"))
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("lang").alias("lang_nb"))
-    )
-    # docs with zero in-vocab trigrams: most frequent language (prior).
-    # Kept action-free at compose time: the 1-row top-prior is broadcast
-    # left-joined on a constant key instead of collected eagerly; an empty
-    # training set degrades to the sentinel "und" rather than crashing.
-    top_prior = (
-        priors.orderBy(F.desc("logp"), F.asc("lang"))
-        .limit(1)
-        .select(F.lit(1).alias("_k"), F.col("lang").alias("_fallback"))
-    )
+    sc = [F.col(f"_sc{i}") for i in range(len(langs))]
+    best_score = F.greatest(*sc) if len(langs) > 1 else sc[0]
+    pred = F.lit(None).cast("string")
+    # build the CASE in reverse so the smallest language wins score ties
+    for i in range(len(langs) - 1, -1, -1):
+        pred = F.when(sc[i] == best_score, F.lit(langs[i])).otherwise(pred)
+    best = scored.select("id", pred.alias("lang_nb"))
+    # docs with zero in-vocab trigrams (no sums row): most frequent
+    # language (max prior, ties to the smallest code — as before)
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(best, "id", "left")
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(top_prior), "_k", "left")
         .select(
             "id",
-            F.coalesce("lang_nb", "_fallback", F.lit("und")).alias("lang_nb"),
+            F.coalesce("lang_nb", F.lit(fallback)).alias("lang_nb"),
         )
     )
 

@@ -982,22 +982,54 @@ def stratified_sample(
     default_fraction: float = 0.0,
     id_col: str = "doc_id",
     salt: str = "sample",
+    pushdown_barrier: bool = False,
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample low-quality /
     overrepresented-language strata): ``fractions`` maps stratum value →
     keep fraction; unlisted strata use ``default_fraction``. Same
     hash-threshold decision as :func:`deterministic_sample` — map-only,
-    engine-stable, no shuffle."""
+    engine-stable, no shuffle.
+
+    ``pushdown_barrier`` (r8): when the strata column is an EXPENSIVE
+    derived expression (q_sample_stratified's 8-regexp lang_expr), the
+    optimizer inlines it into this filter and pushes the predicate below
+    any parallelizing repartition into the scan stage — on a single-file
+    toy input that serializes ~30 inlined regexp copies (no codegen CSE
+    in pushed predicates) onto ONE task: measured 16.9s vs 2.0s at
+    sf1.0.  True adds an always-false non-deterministic OR-arm
+    (``monotonically_increasing_id() < 0``) which Spark cannot split or
+    push, pinning the filter ABOVE the projection so the stratum
+    evaluates once per row in the parallel stage (guide §4.4's
+    asNondeterministic lesson applied to a builtin expression).  The
+    kept row set is bit-identical — the arm is always false."""
     bucket = F.pmod(
         h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         F.lit(1_000_000),
     )
-    thr = F.lit(int(default_fraction * 1_000_000))
-    for value, frac in sorted(fractions.items()):
-        thr = F.when(
-            F.col(strata_col) == value, F.lit(int(frac * 1_000_000))
-        ).otherwise(thr)
-    return df.filter(bucket < thr)
+    # ONE reference to the strata column (r8): the r4 when-chain
+    # mentioned it once per stratum, and when the stratum is a derived
+    # expression (q_sample_stratified's 8-regexp lang_expr) every
+    # mention re-inlines the whole expression into the pushed filter —
+    # measured 24.7s vs 1.1s for the bare lang projection at sf1.0.  A
+    # map lookup keeps the decision identical (missing key -> NULL ->
+    # default, exactly the old otherwise-chain) with a single mention.
+    pairs = [
+        x
+        for value, frac in sorted(fractions.items())
+        for x in (F.lit(value), F.lit(int(frac * 1_000_000)))
+    ]
+    thr = (
+        F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(strata_col)),
+            F.lit(int(default_fraction * 1_000_000)),
+        )
+        if fractions
+        else F.lit(int(default_fraction * 1_000_000))
+    )
+    cond = bucket < thr
+    if pushdown_barrier:
+        cond = cond | (F.monotonically_increasing_id() < 0)
+    return df.filter(cond)
 
 
 def stratified_sample_sql(
