@@ -262,3 +262,61 @@ FROM base
 LEFT JOIN wfreq w ON w.id = base.id
 LEFT JOIN bfreq bf ON bf.id = base.id
 """
+
+
+def repetition_metrics_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, dup_line_ratio, top_word_ratio, top_bigram_ratio) — the
+    :func:`repetition_metric_exprs` signals as ONE Arrow pass (r8).
+
+    The Catalyst formulation sorts each token/bigram array and runs an
+    interpreted aggregate fold per metric (HOFs are CodegenFallback), at
+    ~130µs/doc; a Counter per row computes the same exact integer mode
+    counts ~5× cheaper — the `_tri_counts`/minhash precedent.  Values
+    are bit-identical: identical tokenization (PY_TOKEN_RE == the
+    Catalyst delimiter class, trim == strip(' ')), exact integer counts,
+    and the same single int→double divisions; the entry query applies
+    the shared round(…, 6) on top, unchanged."""
+    import pandas as pd
+
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    def run(pdfs):
+        from collections import Counter
+
+        for pdf in pdfs:
+            ids, dl, tw, tb = [], [], [], []
+            texts = pdf[text_col].fillna("")
+            for did, text in zip(pdf[id_col], texts):
+                lines = [
+                    s for s in (x.strip(" ") for x in text.split("\n")) if s
+                ]
+                n_lines = len(lines)
+                toks = [t for t in PY_TOKEN_RE.split(text.lower()) if t]
+                n_toks = len(toks)
+                mw = max(Counter(toks).values()) if toks else 0
+                bigrams = [
+                    toks[i] + " " + toks[i + 1] for i in range(n_toks - 1)
+                ]
+                mb = max(Counter(bigrams).values()) if bigrams else 0
+                ids.append(did)
+                dl.append(
+                    float(n_lines - len(set(lines))) / max(n_lines, 1)
+                )
+                tw.append(float(mw) / max(n_toks, 1))
+                tb.append(float(mb) / max(len(bigrams), 1))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "dup_line_ratio": pd.Series(dl, dtype="float64"),
+                    "top_word_ratio": pd.Series(tw, dtype="float64"),
+                    "top_bigram_ratio": pd.Series(tb, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        "id long, dup_line_ratio double, top_word_ratio double, "
+        "top_bigram_ratio double",
+    )

@@ -27,19 +27,19 @@ M = (1 << 31) - 1
 
 
 def _kgram_hashes(codes: np.ndarray, k: int) -> np.ndarray:
-    """Rolling polynomial hashes of all k-grams (incremental Rabin-Karp)."""
+    """Polynomial hashes of all k-grams, vectorized over positions (r8).
+
+    Direct evaluation of the same polynomial the incremental Rabin-Karp
+    recurrence computed: hash(p) = Σ_j code[p+j]·B^(k-1-j) (mod M), with
+    the per-term powers reduced mod M so every partial sum fits int64
+    (max term < 2^21 · 2^31; k terms ≪ 2^63) — the canonical
+    representative in [0, M) is identical to the rolling form, and to
+    the DuckDB twin's direct formula, integer-for-integer."""
     n = len(codes) - k + 1
-    out = np.empty(n, dtype=np.uint64)
-    h = 0
+    acc = np.zeros(n, dtype=np.int64)
     for j in range(k):
-        h = (h * B + int(codes[j])) % M
-    out[0] = h
-    drop = pow(B, k - 1, M)
-    for p in range(1, n):
-        h = ((h - int(codes[p - 1]) * drop) % M + M) % M
-        h = (h * B + int(codes[p + k - 1])) % M
-        out[p] = h
-    return out
+        acc += codes[j : j + n] * pow(B, k - 1 - j, M)
+    return (acc % M).astype(np.uint64)
 
 
 def winnow_fingerprints(
@@ -59,6 +59,8 @@ def winnow_fingerprints(
     from kenlm_spark.functions.text import PY_TOKEN_RE
 
     def batch(pdfs):
+        from numpy.lib.stride_tricks import sliding_window_view
+
         for pdf in pdfs:
             ids_out, pos_out, fp_out = [], [], []
             texts = pdf[text_col].fillna("").str.lower()
@@ -67,22 +69,33 @@ def winnow_fingerprints(
                 t = " ".join(x for x in PY_TOKEN_RE.split(raw) if x)
                 if len(t) < k:
                     continue
-                codes = np.fromiter((ord(c) for c in t), dtype=np.int64)
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
                 hs = _kgram_hashes(codes, k)
                 n = len(hs)
-                picked: set[tuple[int, int]] = set()
-                n_windows = max(n - w + 1, 1)
-                for i in range(n_windows):
-                    end = min(i + w, n)
-                    seg = hs[i:end]
-                    mn = seg.min()
-                    # rightmost minimal within the window
-                    j = i + int(np.flatnonzero(seg == mn)[-1])
-                    picked.add((j + 1, int(hs[j])))
-                for p, fp in sorted(picked):
-                    ids_out.append(did)
-                    pos_out.append(p)
-                    fp_out.append(fp)
+                # rightmost minimal per window, vectorized (r8): the r4
+                # per-window Python loop (min + flatnonzero per window)
+                # dominated the whole query.  For n >= w the selected
+                # index in window i is w-1-argmax(reversed == min) —
+                # argmax's first True over the reversed window IS the
+                # rightmost minimum; the n < w case is the single
+                # truncated window, selected the same way.
+                if n >= w:
+                    view = sliding_window_view(hs, w)
+                    mn = view.min(axis=1)
+                    right = (w - 1) - np.argmax(
+                        view[:, ::-1] == mn[:, None], axis=1
+                    )
+                    j = np.arange(n - w + 1) + right
+                else:
+                    j = np.array(
+                        [int(np.flatnonzero(hs == hs.min())[-1])]
+                    )
+                j = np.unique(j)
+                ids_out.extend([did] * len(j))
+                pos_out.extend((j + 1).tolist())
+                fp_out.extend(hs[j].astype(np.int64).tolist())
             yield pd.DataFrame(
                 {"id": ids_out, "pos": pos_out, "fp": fp_out}
             )

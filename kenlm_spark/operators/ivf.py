@@ -128,7 +128,12 @@ def assign_cells(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    # ensure_min_partitions (r8): single-file embedding tables would
+    # otherwise run the assign pass (and everything downstream of it)
+    # on ONE task; no-op when the scan already has enough splits.
+    from kenlm_spark.session import ensure_min_partitions
+
+    return ensure_min_partitions(emb.select(id_col, vec_col)).mapInPandas(
         run, "nid long, v array<double>, cell int"
     )
 
@@ -290,11 +295,20 @@ def ivf_topk(
     assigned = assign_cells(emb, cent, id_col=id_col, vec_col=vec_col)
 
     # Driver-side probe list per query (queries are few by contract).
-    qrows = assigned.filter(F.col("nid").isin(query_ids)).collect()
+    # r8: collect the query vectors from the BASE scan (the isin filter
+    # pushes into the parquet read) instead of from `assigned`, whose
+    # opaque Arrow pass blocks pushdown and re-ran the whole corpus
+    # assignment just to fetch |queries| rows.  float32 -> float64
+    # widening is exact, so qv is bit-identical to assigned's v.
+    qrows = (
+        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+        .filter(F.col("nid").isin(query_ids))
+        .collect()
+    )
     spark = emb.sparkSession
     probe_rows = []
     for r in qrows:
-        qv = np.asarray(r["v"])
+        qv = np.asarray(r["v"], dtype=np.float64)
         d2 = ((cent - qv[None, :]) ** 2).sum(axis=1)
         for cell in np.argsort(d2)[:n_probe]:
             probe_rows.append((int(r["nid"]), list(map(float, qv)), int(cell)))

@@ -251,11 +251,13 @@ def semdedup_losers(
         )
         .otherwise(F.col("id_b"))
     )
-    return (
-        pairs.filter((score >= F.lit(float(tau))) & ~F.isnan(score))
-        .select(loser.alias("nid"))
-        .distinct()
+    # nanvl -> NULL makes a NaN score fail the >= in ONE evaluation of
+    # the fold (a separate ~isnan conjunct would re-evaluate the whole
+    # aggregate per conjunct inside the join condition — measured 2x)
+    qualifies = F.nanvl(score, F.lit(None).cast("double")) >= F.lit(
+        float(tau)
     )
+    return pairs.filter(qualifies).select(loser.alias("nid")).distinct()
 
 
 _CBAL_SALT = "cbal:"

@@ -61,9 +61,14 @@ def brute_force_topk(
     queries = base.filter(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("query_id"), F.col("v").alias("qv")
     )
-    joined = base.crossJoin(F.broadcast(queries)).filter(
-        F.col("nid") != F.col("query_id")
-    )
+    # ensure_min_partitions (r8): spread the corpus side of the probe —
+    # a single-file table otherwise scores every (row, query) dot on one
+    # task; no-op when the scan already has enough splits.
+    from kenlm_spark.session import ensure_min_partitions
+
+    joined = ensure_min_partitions(base).crossJoin(
+        F.broadcast(queries)
+    ).filter(F.col("nid") != F.col("query_id"))
     dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
     # unrolled sequential sum: float-identical to the HOF fold (both
     # left-to-right) but stays inside whole-stage codegen
@@ -303,8 +308,12 @@ def embedding_near_dups(
     # checkpointed so the downstream fan-out (bucket-size agg, anti-join,
     # self-join, verify joins) re-reads the tiny materialized table instead
     # of re-running Python (at production scale this is the written index).
+    # ensure_min_partitions (r8): a single-file embedding table would
+    # otherwise run the Arrow pass and every downstream probe on ONE task.
+    from kenlm_spark.session import ensure_min_partitions
+
     wide = (
-        emb.select(id_col, vec_col)
+        ensure_min_partitions(emb.select(id_col, vec_col))
         .mapInPandas(wide_pass, "nid long, vn array<double>, buckets array<int>")
         .localCheckpoint(eager=True)
     )
@@ -334,23 +343,26 @@ def embedding_near_dups(
         wide.select(F.col("nid").alias("id_b"), F.col("vn").alias("vb")), "id_b"
     )
 
-    def verify(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            va = np.asarray([np.asarray(v) for v in pdf["va"]])
-            vb = np.asarray([np.asarray(v) for v in pdf["vb"]])
-            score = np.round(_seq_dot(va, vb), 6)
-            keep = score >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "score": score[keep],
-                }
-            )
-
-    return joined.mapInPandas(verify, "id_a long, id_b long, score double")
+    # Catalyst verify (r8, same recipe as semdedup_losers): left-fold
+    # aggregate/zip_with dot == _seq_dot's IEEE order; rint(x*1e6)/1e6 is
+    # bit-for-bit np.round(x, 6); ~isnan reproduces numpy's
+    # NaN-never-qualifies (Spark otherwise orders NaN greatest).  Deletes
+    # the Arrow crossing of 2×dim doubles per candidate pair.
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.call_function("rint", dot * F.lit(1000000.0)) / F.lit(
+        1000000.0
+    )
+    # nanvl -> NULL: a NaN score fails the >= in one evaluation (numpy's
+    # NaN-never-qualifies), and the emitted score column is untouched
+    # for qualifying rows (a non-NaN score passes nanvl unchanged)
+    return joined.select("id_a", "id_b", score.alias("score")).filter(
+        F.nanvl("score", F.lit(None).cast("double"))
+        >= F.lit(float(threshold))
+    )
 
 
 def _normed_ctes(table: str, id_col: str, vec_col: str) -> str:

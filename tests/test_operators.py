@@ -879,3 +879,44 @@ def test_contamination_broadcast_guard_both_paths(spark):
         assert rows(contamination_check(corpus, bench, broadcast=False)) == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_repetition_metrics_frame_parity(spark):
+    """r8: the Arrow-pass repetition twin is BIT-identical to the
+    Catalyst exprs on adversarial inputs (empty text, NULL, single
+    token, whitespace runs, duplicated lines with edge spacing)."""
+    from kenlm_spark.filtering.quality import (
+        repetition_metric_exprs,
+        repetition_metrics_frame,
+    )
+
+    rows = [
+        (1, "same line\nsame line\nother line"),
+        (2, "spam spam spam spam unique"),
+        (3, "the cat the cat the cat sat"),
+        (4, "all distinct words here now"),
+        (5, ""),
+        (6, None),
+        (7, "one"),
+        (8, "  padded \n padded  \n\t tabbed \n"),
+        (9, "a\x00b\tc\rd  e"),
+        (10, "UP up Up uP"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = repetition_metric_exprs("text")
+    want = {
+        r["doc_id"]: (r["dl"], r["tw"], r["tb"])
+        for r in df.select(
+            "doc_id",
+            m["dup_line_ratio"].alias("dl"),
+            m["top_word_ratio"].alias("tw"),
+            m["top_bigram_ratio"].alias("tb"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (
+            r["dup_line_ratio"], r["top_word_ratio"], r["top_bigram_ratio"]
+        )
+        for r in repetition_metrics_frame(df).collect()
+    }
+    assert got == want  # exact equality, not approx
