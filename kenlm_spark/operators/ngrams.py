@@ -45,13 +45,33 @@ def ngrams_expr(tokens: Column, n: int) -> Column:
 def ngram_counts(
     df: DataFrame, text_col: str = "text", n: int = 2, pad: bool = True
 ) -> DataFrame:
-    """(gram: string, cnt: bigint) counts of order-n word n-grams."""
+    """(gram: string, cnt: bigint) counts of order-n word n-grams.
+
+    r8: positions explode + per-row slice instead of materializing the
+    nested array-of-ngrams through interpreted HOF lambdas (the
+    count_windows lesson — ~10x on the gram stream); rows shorter than
+    ``n`` emit nothing, exactly as ngrams_expr's otherwise-empty arm."""
     toks = padded_tokens(text_col) if pad else tokenize(text_col)
-    grams = ngrams_expr(toks, n)
-    return (
-        df.select(F.explode(grams).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    if n == 1:
+        grams = df.select(F.explode(toks).alias("gram"))
+    else:
+        grams = (
+            df.select(toks.alias("_ts"))
+            .filter(F.size("_ts") >= n)
+            .select(
+                "_ts",
+                F.explode(
+                    F.sequence(F.lit(0), F.size("_ts") - n)
+                ).alias("_i"),
+            )
+            .select(
+                F.concat_ws(
+                    " ", F.slice("_ts", F.col("_i") + 1, n)
+                ).alias("gram")
+            )
+        )
+    return grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("cnt")
     )
 
 
