@@ -259,6 +259,7 @@ def curate_multimodal_full(
             fused.select("nid", "vn", "cell", "c_sim"),
             tau=tau,
             max_cell=max_cell,
+            dim=int(np.asarray(cent).shape[1]),
         ).withColumn("_sdrop", F.lit(True))
     )
     lab = (
