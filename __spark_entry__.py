@@ -507,7 +507,7 @@ def q_keep_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _keep_drop_frame(spark, docs)
     name = f"keep_drop_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(out, name)
+    run_available_now(out, name, collect_rows=False)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -724,7 +724,7 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _stream_src(sf_dir, "documents"),
         text_col="text", id_col="doc_id",
     )
-    run_available_now(stream, name)
+    run_available_now(stream, name, collect_rows=False)
     return spark.sql(f"SELECT DISTINCT text_hash FROM {name}")
 
 
@@ -747,7 +747,7 @@ def q_events_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = running_user_stats_stream(
         spark, _stream_src(sf_dir, "events"), round_digits=3
     )
-    run_available_now(stream, name, output_mode="update")
+    run_available_now(stream, name, output_mode="update", collect_rows=False)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
@@ -1780,9 +1780,13 @@ def q_contamination_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 97 != 0)
     )
     bench = spark.read.parquet(src).filter(F.col("doc_id") % 97 == 0)
-    out = contamination_check(stream, bench, shingle_k=5)
+    # broadcast=True (r8): the benchmark side is the tiny eval set by
+    # construction; skipping the size-probe count deletes a blocking
+    # pre-job from the drain — the q_corpus_curation precedent, same
+    # broadcast the probe would have chosen, identical results.
+    out = contamination_check(stream, bench, shingle_k=5, broadcast=True)
     name = f"contamination_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(out, name)
+    run_available_now(out, name, collect_rows=False)
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -853,6 +853,12 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        # r8: the changed flag rides the SAME checkpointed round output
+        # (old comp is already on the row being updated), so the
+        # convergence probe is a filter-count over the materialized
+        # round instead of a second join against the previous labels —
+        # one fewer join + job per round, identical comp values and
+        # stopping rule.
         new = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
@@ -860,16 +866,17 @@ def dedup_components(
                 F.least(
                     F.col("comp"), F.coalesce("nmin", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.least(
+                        F.col("comp"), F.coalesce("nmin", F.col("comp"))
+                    )
+                    != F.col("comp")
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.select("id", F.col("comp").alias("old")), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_chg")).count()
+        labels = new.select("id", "comp")
         if changed == 0:
             break
     else:

@@ -243,9 +243,17 @@ class ObservedMetricsListener:
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str | None = None,
+    collect_rows: bool = True,
 ) -> list:
     """Drain a bounded stream into a memory sink; return the rows.
+
+    ``collect_rows=False`` (r8) skips the final driver collect and
+    returns [] — for callers that only read the named memory table
+    afterwards (every ``queries()`` stream entry), the collect was a
+    pure driver-side copy of the whole sink.
 
     The finished ``StreamingQuery`` is exposed as
     ``run_available_now.queries[query_name]`` (and, for the latest
@@ -273,6 +281,8 @@ def run_available_now(
     if not hasattr(run_available_now, "queries"):
         run_available_now.queries = {}
     run_available_now.queries[query_name] = q
+    if not collect_rows:
+        return []
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 
