@@ -75,11 +75,33 @@ def _bucketed(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> Data
     ``explode_outer`` keeps featureless (empty-text) docs as a single
     null-bucket row: the scoring pass can then produce a weight for
     EVERY doc in one corpus scan, with no separate ids scan + join-back
-    (histogram builders must filter the null bucket out)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(dsir_features(text_col)).alias("f"),
-    ).select("id", (h60(F.col("f")) % n_buckets).alias("bucket"))
+    (histogram builders must filter the null bucket out).
+
+    r8 shape: unigrams and bigrams explode as a UNION of two branches
+    instead of materializing the concatenated feature array through
+    transform(sequence → slice) HOF lambdas per row (the count_windows
+    lesson — the nested-array build dominated the pass).  The exploded
+    (id, bucket) multiset is identical: explode_outer over the token
+    array keeps the empty-doc null row, and the bigram branch slices
+    the same (i, i+1) windows the transform produced."""
+    toks = F.array_remove(F.split(norm_text(text_col), " "), "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+    uni = base.select("id", F.explode_outer("_tk").alias("f"))
+    bi = (
+        base.filter(F.size("_tk") >= 2)
+        .select(
+            "id",
+            "_tk",
+            F.explode(F.sequence(F.lit(1), F.size("_tk") - 1)).alias("_i"),
+        )
+        .select(
+            "id",
+            F.concat_ws(" ", F.slice("_tk", F.col("_i"), 2)).alias("f"),
+        )
+    )
+    return uni.unionByName(bi).select(
+        "id", (h60(F.col("f")) % n_buckets).alias("bucket")
+    )
 
 
 def bucket_logratio(
