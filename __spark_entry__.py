@@ -1803,16 +1803,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kenlm_spark.operators.dedup import (
         contamination_check,
-        exact_duplicates,
         h60,
         norm_text,
     )
 
     docs = _docs(spark, sf_dir)
     kd = _keep_drop_frame(spark, docs).select("doc_id", "keep")
-    dups = exact_duplicates(docs).select(
-        F.col("text_hash").alias("_th"), "keep_id"
-    )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     # broadcast=True: the benchmark side is the tiny eval set by
     # construction; skipping the size-guard count keeps the whole
@@ -1839,11 +1835,21 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         h60(norm_text("text")).alias("_th"),
         (bucket < 500_000).alias("in_sample"),
     )
+    # Canonical selection as a window min over the spine's own _th
+    # exchange (r8, guide §2.4): keep_id == MIN(doc_id) per text_hash,
+    # so the exact_duplicates groupBy + join-back was a second corpus
+    # scan + an extra SMJ for a value the window computes on the
+    # partitioning the spine already needs.  Same result bit-for-bit
+    # (inner join on _th matched every row exactly once).
+    from pyspark.sql import Window
+
+    w_th = Window.partitionBy("_th")
     return (
-        spine.join(dups, "_th")
-        .select(
+        spine.select(
             "doc_id",
-            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+            (F.col("doc_id") == F.min("doc_id").over(w_th)).alias(
+                "is_canonical"
+            ),
             "in_sample",
         )
         .join(cont, "doc_id")

@@ -142,31 +142,23 @@ def _minhash_wide(
     payload drops from ~15 bytes/char of shingle text to 8 bytes/shingle.
     That payload was what kept the N→4N scaling probe overhead-bound at
     box-feasible corpus sizes (BENCH/BASELINE.md r2)."""
-    import hashlib
-
+    import numpy as np
     import pandas as pd
 
+    from kenlm_spark.functions.md5_kernel import h60_salted_bytes_batch
     from kenlm_spark.functions.text import PY_TOKEN_RE
 
+    # identity hash first, then the k per-family salts — one kernel call
+    # yields the (shingle, 1 + k_hashes) hash matrix (r8: the hashlib
+    # loop at ~0.9 µs/call was the pass's floor; the batch C kernel is
+    # ~3.5x, same int(md5[:15], 16) integers, A/B-verified on load)
+    prefixes = [b""] + [f"{i}:".encode() for i in range(k_hashes)]
+
     def batch(pdfs):
-        memo: dict[str, tuple[int, list[int]]] = {}
-
-        def hashes(s: str) -> tuple[int, list[int]]:
-            """(identity 60-bit hash, k minhash inputs) per distinct shingle."""
-            v = memo.get(s)
-            if v is None:
-                v = (
-                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16),
-                    [
-                        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
-                        for i in range(k_hashes)
-                    ],
-                )
-                memo[s] = v
-            return v
-
         for pdf in pdfs:
-            rows = []
+            uniq: dict[bytes, int] = {}
+            doc_ids = []
+            doc_rows = []
             texts = pdf[text_col].fillna("").str.lower()
             for did, text in zip(pdf[id_col], texts):
                 toks = [t for t in PY_TOKEN_RE.split(text) if t]
@@ -177,10 +169,28 @@ def _minhash_wide(
                     }
                 else:
                     sh = {" ".join(toks)}
-                hs = [hashes(s) for s in sh]
-                mins = [min(h) for h in zip(*(t[1] for t in hs))]
-                rows.append((did, mins, [t[0] for t in hs]))
-            yield pd.DataFrame(rows, columns=["id", "sigs", "sh"])
+                rows = np.fromiter(
+                    (
+                        uniq.setdefault(s.encode(), len(uniq))
+                        for s in sh
+                    ),
+                    np.int64,
+                    len(sh),
+                )
+                doc_ids.append(did)
+                doc_rows.append(rows)
+            if not doc_ids:
+                continue
+            mat = h60_salted_bytes_batch(
+                list(uniq.keys()), prefixes
+            ).astype(np.int64)
+            out = []
+            for did, rows in zip(doc_ids, doc_rows):
+                sub = mat[rows]
+                out.append(
+                    (did, sub[:, 1:].min(axis=0).tolist(), sub[:, 0].tolist())
+                )
+            yield pd.DataFrame(out, columns=["id", "sigs", "sh"])
 
     return df.select(id_col, text_col).mapInPandas(
         batch, "id long, sigs array<long>, sh array<long>"
@@ -715,20 +725,50 @@ def contamination_check(
     composed caller (e.g. the curation DAG) fully lazy.
     """
     def grams(d: DataFrame):
-        # Hash INSIDE the array, then array_distinct: per-doc distinct
-        # 60-bit hashes by construction, map-only and stream-legal.
-        # (Deduping post-explode would need a stateful dropDuplicates
-        # on a stream; deduping pre-hash — shingles_expr is already
-        # distinct — leaves a within-doc h60 collision producing a
-        # duplicate (id, gh) pair, which would double-count one hit
-        # and diverge from the SQL twin's count(DISTINCT gh).)
-        hashes = F.array_distinct(
-            F.transform(
-                shingles_expr(text_col, shingle_k), lambda g: h60(g)
-            )
-        )
-        return d.select(
-            F.col(id_col).alias("id"), F.explode(hashes).alias("gh")
+        # Per-doc distinct 60-bit shingle hashes, map-only and
+        # stream-legal, computed in ONE Arrow pass (r8, guide §4.2): the
+        # r5 Catalyst chain (transform(sequence→slice→concat_ws→md5+conv)
+        # + two array_distincts) ran as interpreted HOF lambdas and cost
+        # 2.1s for the sf1.0 corpus side vs 0.6s for this pass — the
+        # same per-shingle md5 integers (int(md5[:15],16) == h60), the
+        # same tokenization (PY_TOKEN_RE == the split of norm_text, the
+        # parity the minhash wide pass already pins), the same per-doc
+        # set semantics (a Python set == array_distinct-before-and-after-
+        # hash).  Deduping post-explode instead would need a stateful
+        # dropDuplicates on a stream; the per-doc set keeps it map-only.
+        import numpy as np
+        import pandas as pd
+
+        from kenlm_spark.functions.md5_kernel import h60_bytes_batch
+        from kenlm_spark.functions.text import PY_TOKEN_RE
+
+        id_type = dict(d.dtypes)[id_col]
+
+        def batch(pdfs):
+            for pdf in pdfs:
+                uniq: dict[bytes, int] = {}
+                ids, rows = [], []
+                texts = pdf[text_col].fillna("").str.lower()
+                for did, text in zip(pdf[id_col], texts):
+                    toks = [x for x in PY_TOKEN_RE.split(text) if x]
+                    if len(toks) >= shingle_k:
+                        sh = {
+                            " ".join(toks[j : j + shingle_k])
+                            for j in range(len(toks) - shingle_k + 1)
+                        }
+                    else:
+                        sh = {" ".join(toks)}
+                    for s in sh:
+                        ids.append(did)
+                        rows.append(uniq.setdefault(s.encode(), len(uniq)))
+                if ids:
+                    hs = h60_bytes_batch(list(uniq.keys())).astype(np.int64)
+                    yield pd.DataFrame(
+                        {"id": ids, "gh": hs[np.asarray(rows, np.int64)]}
+                    )
+
+        return d.select(id_col, text_col).mapInPandas(
+            batch, f"id {id_type}, gh long"
         )
 
     bench_g = grams(benchmark).select("gh").distinct()

@@ -72,35 +72,65 @@ def _bucketed(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> Data
     importance weights count repetitions). h60 is non-negative (60-bit),
     so plain ``%`` matches DuckDB's signed modulo.
 
-    ``explode_outer`` keeps featureless (empty-text) docs as a single
-    null-bucket row: the scoring pass can then produce a weight for
-    EVERY doc in one corpus scan, with no separate ids scan + join-back
-    (histogram builders must filter the null bucket out).
+    A featureless (empty-text) doc keeps a single null-bucket row: the
+    scoring pass can then produce a weight for EVERY doc in one corpus
+    scan, with no separate ids scan + join-back (histogram builders must
+    filter the null bucket out).
 
-    r8 shape: unigrams and bigrams explode as a UNION of two branches
-    instead of materializing the concatenated feature array through
-    transform(sequence → slice) HOF lambdas per row (the count_windows
-    lesson — the nested-array build dominated the pass).  The exploded
-    (id, bucket) multiset is identical: explode_outer over the token
-    array keeps the empty-doc null row, and the bigram branch slices
-    the same (i, i+1) windows the transform produced."""
-    toks = F.array_remove(F.split(norm_text(text_col), " "), "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
-    uni = base.select("id", F.explode_outer("_tk").alias("f"))
-    bi = (
-        base.filter(F.size("_tk") >= 2)
-        .select(
-            "id",
-            "_tk",
-            F.explode(F.sequence(F.lit(1), F.size("_tk") - 1)).alias("_i"),
-        )
-        .select(
-            "id",
-            F.concat_ws(" ", F.slice("_tk", F.col("_i"), 2)).alias("f"),
-        )
-    )
-    return uni.unionByName(bi).select(
-        "id", (h60(F.col("f")) % n_buckets).alias("bucket")
+    r8 shape: ONE Arrow pass (guide §4.2).  The Catalyst formulations —
+    first transform(sequence → slice) HOF lambdas, then a union of an
+    explode_outer unigram branch and a sliced bigram branch — both paid
+    interpreted md5+conv per feature occurrence AND tokenized the corpus
+    once per branch; the Python pass tokenizes once, memoizes the
+    feature→bucket hash across the batch (crawl vocabulary ≪ occurrence
+    count), and emits the identical (id, bucket) multiset: the same
+    PY_TOKEN_RE tokens (== the split of norm_text, the parity the
+    minhash wide pass pins), the same int(md5(f)[:15],16) % B buckets,
+    the same null row for featureless docs."""
+    import numpy as np
+    import pandas as pd
+
+    from kenlm_spark.functions.md5_kernel import h60_bytes_batch
+    from kenlm_spark.functions.text import PY_TOKEN_RE
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def batch(pdfs):
+        for pdf in pdfs:
+            uniq: dict[bytes, int] = {}
+            ids, rows = [], []
+            texts = pdf[text_col].fillna("").str.lower()
+            for did, text in zip(pdf[id_col], texts):
+                toks = [x for x in PY_TOKEN_RE.split(text) if x]
+                if not toks:
+                    ids.append(did)
+                    rows.append(-1)  # featureless: null bucket
+                    continue
+                for t in toks:
+                    ids.append(did)
+                    rows.append(uniq.setdefault(t.encode(), len(uniq)))
+                for j in range(len(toks) - 1):
+                    f = toks[j] + " " + toks[j + 1]
+                    ids.append(did)
+                    rows.append(uniq.setdefault(f.encode(), len(uniq)))
+            if ids:
+                r = np.asarray(rows, np.int64)
+                if uniq:
+                    hs = (
+                        h60_bytes_batch(list(uniq.keys())).astype(np.int64)
+                        % n_buckets
+                    )
+                    vals = hs[np.maximum(r, 0)]
+                else:
+                    vals = np.zeros(len(r), np.int64)
+                buckets = pd.array(vals, dtype="Int64")
+                buckets[r < 0] = None
+                yield pd.DataFrame(
+                    {"id": pd.Series(ids), "bucket": buckets}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batch, f"id {id_type}, bucket long"
     )
 
 
@@ -147,7 +177,16 @@ def dsir_log_weights(
     ``target_df`` is the target-domain sample. Documents with no
     features (empty text) get n_feats 0 / log_w 0.0 via the left join.
     """
-    raw_b = _bucketed(raw_df, id_col, text_col, n_buckets)
+    # localCheckpoint (r8): raw_b feeds BOTH the raw histogram and the
+    # scoring join — without it the corpus featurization pass runs
+    # twice.  The materialized stream is (id, bucket) = 16 bytes per
+    # feature occurrence of executor-local disk (~2x the corpus token
+    # count); at 100 TB that is the cheapest of the three corpus-scale
+    # artifacts this operator otherwise recomputes, and the same trade
+    # the minhash/semdedup wide-table checkpoints make.
+    raw_b = _bucketed(raw_df, id_col, text_col, n_buckets).localCheckpoint(
+        eager=True
+    )
     tgt_b = _bucketed(target_df, id_col, text_col, n_buckets)
     not_null = F.col("bucket").isNotNull()
     ratio = bucket_logratio(
