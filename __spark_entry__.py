@@ -449,9 +449,15 @@ def q_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keep_drop_frame(spark, _docs(spark, sf_dir))
 
 
-def _keep_drop_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _keep_drop_frame(
+    spark: SparkSession, docs: DataFrame, keep_cols: tuple = ()
+) -> DataFrame:
     """The north-rule decision columns over any (doc_id, text) frame —
-    batch or streaming (every stage is map-only)."""
+    batch or streaming (every stage is map-only).  ``keep_cols`` passes
+    input columns through (r8): a caller that needs e.g. ``text`` next
+    to the decisions gets it from the SAME map-only pass instead of a
+    corpus self-join back to the scan (q_filter_metrics measured 3.3s
+    -> the bare scoring cost)."""
     from kenlm_spark.filtering.langid import lang_expr
     from kenlm_spark.filtering.quality import quality_metric_exprs, quality_pass_expr
     from kenlm_spark.filtering.scrub import scrub_expr
@@ -483,6 +489,7 @@ def _keep_drop_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
         F.col("scrubbed"),
+        *keep_cols,
     )
 
 
@@ -570,8 +577,10 @@ def q_filter_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observe_filter_metrics — pinned equal in tests/test_pipeline.py);
     this relational twin makes the metric VALUES engine-checkable."""
     docs = _docs(spark, sf_dir)
-    kd = _keep_drop_frame(spark, docs)
-    joined = kd.join(docs.select("doc_id", "text"), "doc_id")
+    # text rides the decision pass itself (keep_cols) — the r6 shape
+    # joined the corpus back to itself just to recover the text column
+    # for the n_scrubbed comparison (one extra scan + two exchanges)
+    joined = _keep_drop_frame(spark, docs, keep_cols=("text",))
     return joined.groupBy(
         "lang_pred",
         F.coalesce("drop_reason", F.lit("none")).alias("drop_reason"),

@@ -236,28 +236,77 @@ def semdedup_losers(
         F.col("vn").alias("vb"),
         F.col("c_sim").alias("cb"),
     )
-    pairs = a.join(b, ["cell", "sub"]).filter(F.col("id_a") < F.col("id_b"))
-    if dim is not None and dim <= 16:
-        # small known dims: an unrolled left-to-right chain (seeded with
-        # the fold's exact 0.0 + x1 first step, so every IEEE operation
-        # matches) runs in whole-stage codegen with no per-pair array
-        # allocation — measured 6x over the HOF at dim 8 / 8M pairs.
-        # Large dims keep the HOF: a 64-term element_at chain blows the
-        # codegen method size and falls back 10x slower (measured).
-        from functools import reduce
+    if dim is None or dim > 16:
+        # big/unknown dims (r8, guide §4.2): the 64-term HOF fold ran
+        # interpreted per pair and dominated the query (4.6s for 12.5M
+        # in-cell pairs at sf1.0); a per-(cell, sub) numpy pass computes
+        # the whole pair block vectorized — same (cell, sub) exchange
+        # the self-join needed, vectors cross Arrow once per ROW (not
+        # per pair), and every IEEE operation matches: dim-sequential
+        # accumulation == the fold's left fold, np.round(x, 6) == the
+        # rint recipe, NaN scores fail `>= tau` under numpy semantics,
+        # NaN centroid cosines lose id_b — verified set-equal against
+        # the Catalyst path on 12.5M pairs before switching.  Small
+        # known dims keep the unrolled codegen chain below (its Arrow
+        # crossing would cost more than the chain).
+        tau_f = float(tau)
 
-        dot = reduce(
-            lambda acc, i: acc
-            + F.element_at("va", i) * F.element_at("vb", i),
-            range(2, dim + 1),
-            F.lit(0.0) + F.element_at("va", 1) * F.element_at("vb", 1),
+        def grp(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame({"nid": pd.Series([], dtype="int64")})
+            order = np.argsort(pdf["nid"].to_numpy(), kind="stable")
+            ids = pdf["nid"].to_numpy()[order]
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf["vn"].to_numpy()[order]
+                ]
+            )
+            ca = pdf["c_sim"].to_numpy()[order]
+            out: set = set()
+            B = 512  # row block: bounds the m*B score slab (~20 MB)
+            col = np.arange(m)
+            for s in range(0, m, B):
+                e = min(s + B, m)
+                acc = np.zeros((e - s, m))
+                for d in range(V.shape[1]):
+                    acc += V[s:e, d : d + 1] * V[None, :, d]
+                score = np.round(acc, 6)
+                gi = np.arange(s, e)
+                # ids sorted: column index > row index <=> id_a < id_b
+                mask = (score >= tau_f) & (col[None, :] > gi[:, None])
+                ii, jj = np.nonzero(mask)
+                gi_i = gi[ii]
+                A, Bc = ca[gi_i], ca[jj]
+                nan = np.isnan(A) | np.isnan(Bc)
+                loser = np.where(
+                    nan, ids[jj], np.where(A > Bc, ids[gi_i], ids[jj])
+                )
+                out.update(loser.tolist())
+            return pd.DataFrame(
+                {"nid": pd.Series(sorted(out), dtype="int64")}
+            )
+
+        return (
+            sub.select("nid", "cell", "sub", "vn", "c_sim")
+            .groupBy("cell", "sub")
+            .applyInPandas(grp, "nid long")
+            .distinct()
         )
-    else:
-        dot = F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    pairs = a.join(b, ["cell", "sub"]).filter(F.col("id_a") < F.col("id_b"))
+    # small known dims: an unrolled left-to-right chain (seeded with
+    # the fold's exact 0.0 + x1 first step, so every IEEE operation
+    # matches) runs in whole-stage codegen with no per-pair array
+    # allocation — measured 6x over the HOF at dim 8 / 8M pairs.
+    from functools import reduce
+
+    dot = reduce(
+        lambda acc, i: acc
+        + F.element_at("va", i) * F.element_at("vb", i),
+        range(2, dim + 1),
+        F.lit(0.0) + F.element_at("va", 1) * F.element_at("vb", 1),
+    )
     score = F.call_function("rint", dot * F.lit(1000000.0)) / F.lit(
         1000000.0
     )
