@@ -51,24 +51,39 @@ def _fake_vec(salt: str, key: str, dim: int) -> np.ndarray:
     )
 
 
-def fake_text_encoder(dim: int = 8):
-    """list[str] -> (n, dim) float64 — deterministic caption encoder."""
+def _fake_encoder(salt: str, dim: int):
+    """Batch twin of :func:`_fake_vec` (r8): one salted-md5 kernel call
+    per batch instead of n×dim hashlib calls.  ``int(hexdigest[:8], 16)``
+    is the top 32 of the kernel's 60-bit hash (``h60 >> 28``), so the
+    components are integer-identical."""
+    from kenlm_spark.functions.md5_kernel import h60_salted_bytes_batch
 
-    def enc(texts):
-        return np.stack([_fake_vec("at:", t or "", dim) for t in texts])
+    prefixes = [f"{salt}{c}:".encode() for c in range(dim)]
+
+    def enc(keys):
+        # f"{...}" in the per-key twin stringified non-str keys (numeric
+        # image ids); str() keeps that, and `or ""` keeps its falsy rule
+        msgs = [str(k or "").encode() for k in keys]
+        if not msgs:
+            return np.zeros((0, dim), dtype=np.float64)
+        m = h60_salted_bytes_batch(msgs, prefixes)
+        return ((m >> np.uint64(28)) % np.uint64(1000)).astype(
+            np.float64
+        ) / 1000.0 - 0.5
 
     return enc
+
+
+def fake_text_encoder(dim: int = 8):
+    """list[str] -> (n, dim) float64 — deterministic caption encoder."""
+    return _fake_encoder("at:", dim)
 
 
 def fake_image_encoder(dim: int = 8):
     """list[str] -> (n, dim) float64 — deterministic image encoder
     keyed on an image KEY column (a real encoder consumes bytes; the
     fake stands in for pixels the container cannot decode)."""
-
-    def enc(keys):
-        return np.stack([_fake_vec("ai:", k or "", dim) for k in keys])
-
-    return enc
+    return _fake_encoder("ai:", dim)
 
 
 def _default_encoder(*_a, **_k):
@@ -248,18 +263,30 @@ def retrieval_recall(
             tn = t / _seq_sq_norm(t)[:, None]
             inn = im / _seq_sq_norm(im)[:, None]
             own = np.round(_seq_dot(tn, inn), 6)
-            # pool cosines with the same sequential-over-dims fold the
-            # SQL twin's list_sum uses
-            acc = np.zeros((len(tn), len(pids)))
-            for d in range(dim):
-                acc += tn[:, d : d + 1] * pmat[None, :, d][0]
-            pc = np.round(acc, 6)
             ids = pdf["_id"].to_numpy()
-            beats = (
-                (pc > own[:, None])
-                | ((pc == own[:, None]) & (pids[None, :] < ids[:, None]))
-            ) & (pids[None, :] != ids[:, None])
-            rank = 1 + beats.sum(axis=1)
+            # pool cosines with the same sequential-over-dims fold the
+            # SQL twin's list_sum uses.  Row-TILED (r8): the full
+            # batch×pool score slab cost dim+3 DRAM sweeps per batch
+            # (memory-bandwidth-bound at a 10k pool); a ~10 MB tile
+            # keeps the dim passes and the rank comparisons in cache.
+            # Per-element operations and their order are unchanged.
+            n = len(tn)
+            rank = np.empty(n, dtype=np.int64)
+            tile = max(1, 10_000_000 // (8 * max(len(pids), 1)))
+            for s in range(0, n, tile):
+                e = min(s + tile, n)
+                acc = np.zeros((e - s, len(pids)))
+                for d in range(dim):
+                    acc += tn[s:e, d : d + 1] * pmat[None, :, d][0]
+                pc = np.round(acc, 6)
+                beats = (
+                    (pc > own[s:e, None])
+                    | (
+                        (pc == own[s:e, None])
+                        & (pids[None, :] < ids[s:e, None])
+                    )
+                ) & (pids[None, :] != ids[s:e, None])
+                rank[s:e] = 1 + beats.sum(axis=1)
             yield pd.DataFrame(
                 {
                     "id": ids,
