@@ -2030,28 +2030,43 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: image/selection queries). The 34 rotated out are untouched this
 #: round and hash-green in CORRECTNESS_r06.json — see
 #: BENCH/SAMPLED_WINDOWS.md.
-_R7_WINDOW = [
-    # returning (28, unsampled in r6)
-    "q_word_freq", "q_ngram_count_2", "q_lm_windows_3", "q_lm_adjusted_2",
-    "q_lm_adjusted_1", "q_lm_model_pruned", "q_lm_model_3",
-    "q_ngram_count_3", "q_langid", "q_scrub", "q_quality_metrics",
-    "q_quality_filter", "q_filter_vocab_multiple", "q_interpolate_models",
-    "q_interpolate_tuned", "q_quantize_model", "q_token_stats",
-    "q_multimodal_meta", "q_audio_features", "q_multimodal_frames",
-    "q_multimodal_phash", "q_tpch_q1", "q_orders_customer_revenue",
-    "q_events_hourly", "q_events_user_rank", "q_events_user_stats_stream",
-    "q_repetition_metrics", "q_url_filter",
-    # r7-touched / new (12)
-    "q_dsir_select", "q_curation_full", "q_domain_rebalance",
-    "q_dedup_semantic", "q_cluster_sample", "q_dsir_weights",
-    "q_similarity_ivf", "q_similarity_ivf_pq", "q_alignment_filter",
-    "q_multimodal_curation", "q_pack_sequences", "q_aspect_buckets",
-    "q_pack_payloads", "q_retrieval_recall",
-    # fill (8)
+#: r8 (optimization round) window: every query whose FUNCTION or
+#: exercised operator changed this round sits inside (39 — the md5
+#: kernel + Arrow-pass rewrites touch the dedup/DSIR/contamination/
+#: alignment families, the position-explode rewrite the whole estimator
+#: family, and the keep_cols/_spread_stream entry changes the keep-drop
+#: and stream paths); the 11 fill slots go to queries whose BACKING
+#: MODULE changed but whose functions did not (additive or sibling-
+#: function edits: word_counts in ngrams.py, the quality exprs next to
+#: the new repetition frame, the untouched multimodal/cluster/exact-
+#: dedup siblings).  The 34 outside are on untouched modules (scorer,
+#: model_filter, quantize, mixing, image_quality, packing, chunking,
+#: langid-heuristic, TPC-H twins) except q_dedup_simhash /
+#: q_dedup_passages (dedup.py siblings, functions untouched) — ALL 84
+#: re-verified green this round through the local Arrow-typed gate at
+#: sf0.01 (scripts/check_oracles.py; see BENCH/SAMPLED_WINDOWS.md r8).
+_R8_WINDOW = [
+    # r8 function-touched (39)
+    "q_lm_windows_3", "q_lm_adjusted_1", "q_lm_adjusted_2",
+    "q_lm_model_3", "q_lm_model_pruned", "q_filter_counts",
+    "q_ngram_count_2", "q_ngram_count_3",
+    "q_dedup_phash", "q_multimodal_phash", "q_multimodal_curation",
+    "q_curation_full", "q_repetition_metrics",
+    "q_dedup_embedding", "q_similarity_topk", "q_similarity_lsh",
+    "q_similarity_ivf", "q_similarity_ivf_pq",
     "q_keep_drop_stream", "q_contamination_stream", "q_dedup_exact_stream",
-    "q_image_quality", "q_dedup_phash", "q_keep_drop",
-    "q_ppl_by_source",
-    "q_corpus_curation",
+    "q_events_user_stats_stream",
+    "q_dedup_minhash", "q_dedup_components", "q_dedup_canonical",
+    "q_contamination", "q_corpus_curation", "q_sample_stratified",
+    "q_dsir_weights", "q_dsir_select", "q_fingerprint_winnow",
+    "q_interpolate_models", "q_interpolate_tuned", "q_langid_nb",
+    "q_alignment_filter", "q_retrieval_recall", "q_dedup_semantic",
+    "q_keep_drop", "q_filter_metrics",
+    # fill: backing module changed, function untouched (11)
+    "q_word_freq", "q_quality_metrics", "q_quality_filter",
+    "q_multimodal_meta", "q_multimodal_frames", "q_audio_features",
+    "q_cluster_sample", "q_dedup_exact", "q_dedup_jaccard",
+    "q_dedup_simhash_pairs", "q_keep_drop_join",
 ]
 
 
@@ -2069,7 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_filter_metrics + q_image_quality + q_dsir_weights +
     # q_ccnet_buckets) + 14 fill; the 20 rotated out are untouched and
     # r5-hash-green.  r7: the dict literal keeps its logical grouping;
-    # the driver-facing order is applied from _R7_WINDOW at return.
+    # the driver-facing order is applied from _R8_WINDOW at return.
     d = {
         # --- r5-unsampled, rotated back in (16)
         "q_sample_stratified": q_sample_stratified,
@@ -2165,13 +2180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_metrics": q_repetition_metrics,
         "q_url_filter": q_url_filter,
     }
-    missing = [k for k in _R7_WINDOW if k not in d]
-    if missing or len(_R7_WINDOW) != 50 or len(set(_R7_WINDOW)) != 50:
+    missing = [k for k in _R8_WINDOW if k not in d]
+    if missing or len(_R8_WINDOW) != 50 or len(set(_R8_WINDOW)) != 50:
         raise RuntimeError(
             f"driver window misconfigured: missing={missing}, "
-            f"len={len(_R7_WINDOW)}"
+            f"len={len(_R8_WINDOW)}"
         )
-    ordered = {k: d[k] for k in _R7_WINDOW}
+    ordered = {k: d[k] for k in _R8_WINDOW}
     ordered.update({k: v for k, v in d.items() if k not in ordered})
     return ordered
 
