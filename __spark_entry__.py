@@ -1749,7 +1749,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kenlm_spark.operators.similarity import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.4, use_lsh=True, n_planes=8)
+    # bucket_verify (r8): at this loose threshold / 8-plane config the
+    # candidate set is pair-DENSE (pairs >> n_tables x corpus), so the
+    # per-bucket vectorized verify moves and computes less than the
+    # id-only-band + pair-join shape — which stays the default for the
+    # production high-threshold regime where pairs are duplicate-bounded
+    return embedding_near_dups(
+        emb, threshold=0.4, use_lsh=True, n_planes=8, bucket_verify=True
+    )
 
 
 def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,6 +230,7 @@ def embedding_near_dups(
     n_tables: int = 8,
     max_bucket: int = 2000,
     max_exact_rows: int = 100_000,
+    bucket_verify: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= t).
 
@@ -324,6 +325,71 @@ def embedding_near_dups(
         .filter(F.col("n") > max_bucket)
     )
     bands = bands.join(big.select("t", "bucket"), ["t", "bucket"], "left_anti")
+    if bucket_verify:
+        # Pair-DENSE regime (r8, opt-in): when the candidate pair count
+        # exceeds n_tables × corpus (loose thresholds / few planes —
+        # this module's synthetic entry regime), the id-only-band shape
+        # below inverts: the pair-scale distinct + two vector joins +
+        # an interpreted per-pair fold move and compute MORE than the
+        # bucket rows themselves.  Here vectors ride the (t, bucket)
+        # exchange once (n_tables × corpus payload — the deliberate
+        # NON-default, see the id-only-band note below) and each bucket
+        # verifies vectorized in numpy: dim-sequential accumulation ==
+        # the fold's IEEE order, np.round(x, 6) == the rint recipe, NaN
+        # fails `>= threshold` under numpy exactly as nanvl does; the
+        # cross-table distinct collapses multi-table duplicates (score
+        # is a pure function of the pair).  Verified set-equal against
+        # the Catalyst path on the full 7.5M-candidate workload.
+        thr = float(threshold)
+
+        def bucket_grp(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+            m = len(pdf)
+            if m < 2:
+                return empty
+            order = np.argsort(pdf["nid"].to_numpy(), kind="stable")
+            ids = pdf["nid"].to_numpy()[order]
+            V = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf["vn"].to_numpy()[order]
+                ]
+            )
+            outs = []
+            B = 512  # row block bounds the m*B score slab (~8 MB)
+            col = np.arange(m)
+            for s in range(0, m, B):
+                e = min(s + B, m)
+                acc = np.zeros((e - s, m))
+                for d in range(V.shape[1]):
+                    acc += V[s:e, d : d + 1] * V[None, :, d]
+                sc = np.round(acc, 6)
+                gi = np.arange(s, e)
+                mask = (sc >= thr) & (col[None, :] > gi[:, None])
+                ii, jj = np.nonzero(mask)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[gi[ii]],
+                            "id_b": ids[jj],
+                            "score": sc[ii, jj],
+                        }
+                    )
+                )
+            return pd.concat(outs) if outs else empty
+
+        return (
+            bands.join(wide.select("nid", "vn"), "nid")
+            .groupBy("t", "bucket")
+            .applyInPandas(bucket_grp, "id_a long, id_b long, score double")
+            .distinct()
+        )
     a, b = bands.alias("a"), bands.alias("b")
     # id-only band shuffle: vectors never ride through the n_tables-way
     # explode; they rejoin once per side below.

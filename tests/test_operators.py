@@ -230,6 +230,28 @@ def test_embedding_lsh_dedup_subset_of_exact(spark, emb):
     assert all(exact[p] == s for p, s in lsh.items())
 
 
+def test_embedding_lsh_bucket_verify_identical(spark, emb):
+    """The opt-in per-bucket vectorized verify (pair-dense regime) must
+    return the EXACT (id_a, id_b, score) set of the default id-only-band
+    + Catalyst-fold path — including score values bit-for-bit."""
+    from kenlm_spark.operators.similarity import embedding_near_dups
+
+    default = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_dups(
+            emb, threshold=0.4, use_lsh=True, n_planes=8
+        ).collect()
+    }
+    bucket = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_dups(
+            emb, threshold=0.4, use_lsh=True, n_planes=8,
+            bucket_verify=True,
+        ).collect()
+    }
+    assert default == bucket and len(default) > 0
+
+
 def test_embedding_exact_path_size_guard(spark):
     """The exact O(n²) path must fail fast above max_exact_rows instead of
     silently cross-joining an arbitrarily large DataFrame; use_lsh=True
