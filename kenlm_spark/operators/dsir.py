@@ -177,16 +177,14 @@ def dsir_log_weights(
     ``target_df`` is the target-domain sample. Documents with no
     features (empty text) get n_feats 0 / log_w 0.0 via the left join.
     """
-    # localCheckpoint (r8): raw_b feeds BOTH the raw histogram and the
-    # scoring join — without it the corpus featurization pass runs
-    # twice.  The materialized stream is (id, bucket) = 16 bytes per
-    # feature occurrence of executor-local disk (~2x the corpus token
-    # count); at 100 TB that is the cheapest of the three corpus-scale
-    # artifacts this operator otherwise recomputes, and the same trade
-    # the minhash/semdedup wide-table checkpoints make.
-    raw_b = _bucketed(raw_df, id_col, text_col, n_buckets).localCheckpoint(
-        eager=True
-    )
+    # raw_b feeds BOTH the raw histogram and the scoring join, so the
+    # featurize pass runs twice.  An eager localCheckpoint between was
+    # A/B-measured SLOWER at both local scales (r8: 2.01 vs 1.57 s at
+    # sf0.1, 2.26 vs 2.10 s at 10x — the Arrow+kernel pass is cheaper
+    # than the materialization barrier); at 100 TB, where the second
+    # corpus READ dominates instead, persist/checkpoint the featurized
+    # stream at the caller (it is the written DSIR feature index).
+    raw_b = _bucketed(raw_df, id_col, text_col, n_buckets)
     tgt_b = _bucketed(target_df, id_col, text_col, n_buckets)
     not_null = F.col("bucket").isNotNull()
     ratio = bucket_logratio(
