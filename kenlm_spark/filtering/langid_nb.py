@@ -90,11 +90,12 @@ def train_langid_nb(
     # checkpoint: counts (tiny — distinct (lang, trigram) pairs) feeds the
     # vocab-size count, totals, weights, and priors; without the barrier
     # each consumer re-runs the full corpus pass
-    counts = (
+    from kenlm_spark.session import checkpoint_disk
+
+    counts = checkpoint_disk(
         _tri_counts(docs, label_col, text_col, "string")
         .groupBy(F.col("key").alias("lang"), "tri")
         .agg(F.sum("cnt").alias("c"))
-        .localCheckpoint(eager=True)
     )
     vocab_size = counts.select("tri").distinct().count()
     totals = counts.groupBy("lang").agg(F.sum("c").alias("total"))

@@ -216,17 +216,21 @@ def curate_multimodal_full(
         sample=sample,
         sample_frac=sample_frac,
     )
-    fused = fused_alignment_semdedup(
-        pairs,
-        cent,
-        text_encoder,
-        image_encoder,
-        id_col=id_col,
-        caption_col=caption_col,
-        image_key_col=image_key_col,
-        align_threshold=align_threshold,
-        passthrough=[image_pass_col, phash_col, caption_hash_col],
-    ).localCheckpoint(eager=True)
+    from kenlm_spark.session import checkpoint_disk
+
+    fused = checkpoint_disk(
+        fused_alignment_semdedup(
+            pairs,
+            cent,
+            text_encoder,
+            image_encoder,
+            id_col=id_col,
+            caption_col=caption_col,
+            image_key_col=image_key_col,
+            align_threshold=align_threshold,
+            passthrough=[image_pass_col, phash_col, caption_hash_col],
+        )
+    )
 
     maybe_bc = F.broadcast if broadcast_drops else (lambda df: df)
     # dropped-id fast path (r8): the labels only need distinct id_b, so

@@ -211,8 +211,10 @@ def minhash_lsh_pairs(
     # One Python pass computes signatures + shingle sets; checkpointed so
     # the band/bucket fan-out and the verify joins reuse the tiny
     # materialized table instead of re-running the pass.
-    wide = _minhash_wide(df, id_col, text_col, k_hashes, shingle_k).localCheckpoint(
-        eager=True
+    from kenlm_spark.session import checkpoint_disk
+
+    wide = checkpoint_disk(
+        _minhash_wide(df, id_col, text_col, k_hashes, shingle_k)
     )
     n_bands = k_hashes // band_size
     # One explode instead of a union of per-band selects: the signature
@@ -873,19 +875,19 @@ def dedup_components(
     the large-star/small-star variant halves diameter per round; not
     needed for dedup workloads.
     """
-    edges = (
+    from kenlm_spark.session import checkpoint_disk
+
+    edges = checkpoint_disk(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = checkpoint_disk(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -913,8 +915,8 @@ def dedup_components(
                     != F.col("comp")
                 ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
+        new = checkpoint_disk(new)
         changed = new.filter(F.col("_chg")).count()
         labels = new.select("id", "comp")
         if changed == 0:

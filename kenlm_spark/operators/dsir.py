@@ -265,9 +265,11 @@ def dsir_select_by_quantile(
     # 9.4s -> ~5s at sf1.0).  The materialized table is (id, n_feats,
     # log_w) — 24 bytes/row of executor-local disk, the same trade the
     # sibling wide-table checkpoints (minhash, semdedup) make.
-    w = weights.select(
-        "id", "n_feats", F.round("log_w", 6).alias("log_w")
-    ).localCheckpoint(eager=True)
+    from kenlm_spark.session import checkpoint_disk
+
+    w = checkpoint_disk(
+        weights.select("id", "n_feats", F.round("log_w", 6).alias("log_w"))
+    )
     hmod = F.pmod(
         h60(F.concat(F.lit(_SEL_SALT), F.col("id").cast("string"))),
         F.lit(1_000_000),

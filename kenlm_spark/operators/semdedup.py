@@ -126,13 +126,13 @@ def semdedup_labels(
     # thousands of splits and this is a no-op.
     from kenlm_spark.session import ensure_min_partitions
 
-    wide = (
-        ensure_min_partitions(emb.select(id_col, vec_col))
-        .mapInPandas(
+    from kenlm_spark.session import checkpoint_disk
+
+    wide = checkpoint_disk(
+        ensure_min_partitions(emb.select(id_col, vec_col)).mapInPandas(
             assign_pass,
             "nid long, vn array<double>, cell int, c_sim double",
         )
-        .localCheckpoint(eager=True)
     )
     losers = semdedup_losers(
         wide,

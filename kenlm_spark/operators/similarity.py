@@ -199,7 +199,11 @@ def _normalized(
             "vn"
         ),
     )
-    return out.localCheckpoint(eager=True) if checkpoint else out
+    if checkpoint:
+        from kenlm_spark.session import checkpoint_disk
+
+        return checkpoint_disk(out)
+    return out
 
 
 def _seq_sq_norm(x: np.ndarray) -> np.ndarray:
@@ -313,10 +317,12 @@ def embedding_near_dups(
     # otherwise run the Arrow pass and every downstream probe on ONE task.
     from kenlm_spark.session import ensure_min_partitions
 
-    wide = (
-        ensure_min_partitions(emb.select(id_col, vec_col))
-        .mapInPandas(wide_pass, "nid long, vn array<double>, buckets array<int>")
-        .localCheckpoint(eager=True)
+    from kenlm_spark.session import checkpoint_disk
+
+    wide = checkpoint_disk(
+        ensure_min_partitions(emb.select(id_col, vec_col)).mapInPandas(
+            wide_pass, "nid long, vn array<double>, buckets array<int>"
+        )
     )
     bands = wide.select("nid", F.posexplode("buckets").alias("t", "bucket"))
     big = (
