@@ -37,10 +37,15 @@ def main() -> None:
         return time.perf_counter() - t0
 
     out = {}
-    for name in sys.argv[1:]:
+    names = sys.argv[1:] or list(qs)
+    for name in names:
         spark.sparkContext.setJobDescription(name)
+        print(f"[bench_extra] {name} ...", file=sys.stderr, flush=True)
         run_once(qs[name])
         out[name] = round(run_once(qs[name]), 3)
+        print(
+            f"[bench_extra] {name} = {out[name]}s", file=sys.stderr, flush=True
+        )
         spark.sparkContext.setJobDescription(None)
     spark.stop()
     print(json.dumps({"sf": sf_dir, "queries": out}))

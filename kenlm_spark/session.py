@@ -32,7 +32,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 16g default (r8, was 8g): local mode makes the driver THE
+        # executor; the sandbox has 128 GiB and a full 84-query sweep at
+        # a 100x scale factor sat exactly at the 8g heap edge (one
+        # harness variant OOM'd, the other passed).  Still overridable
+        # via SPARK_DRIVER_MEM; on a real cluster executor memory is a
+        # spark-submit concern, not this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Benchmark/driver sessions run hundreds of jobs; the context
+        # cleaner frees checkpoint/broadcast blocks only after a JVM GC
+        # collects their weak references, and the default periodic-GC
+        # interval (30 min) is longer than a whole sweep — accumulated
+        # blocks OOM'd the 100x local sweep (r8).  2 min keeps block
+        # release bounded; no effect on any single query's plan or time.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
